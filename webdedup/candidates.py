@@ -1,0 +1,168 @@
+"""Candidate-pair generation — the blocking layer.
+
+Replaces the reference's per-source-row Elasticsearch top-k retrieval loop
+(suricate/dbconnectors/esconnector.py:132-153: one HTTP roundtrip per row)
+with declarative LSH blocking:
+
+  - MinHash band buckets: explode band hashes, self-join within buckets
+  - SimHash prefix blocks: explode 16-bit blocks, self-join, hamming filter
+  - (substring anchors live in substring.py)
+
+Skew handling is explicit (north_rule): bucket sizes are computed with a
+salted two-phase aggregation, oversized buckets (boilerplate pages) are
+capped and the dropped mass is RETURNED as a metrics DataFrame — never
+silently truncated.  AQE skew-join splitting backstops the self-joins.
+
+Output candidate schema mirrors the reference's ES output
+(ix_source, ix_target, es_score, es_rank) as:
+    (url_a, url_b, methods array<string>)  with url_a < url_b.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webdedup.config import DedupConfig
+
+
+def _explode_keys(signatures: DataFrame, array_col: str) -> DataFrame:
+    """(url, bands|blocks) -> (url, key_idx, key_hash)."""
+    return signatures.select(
+        "url", F.posexplode(array_col).alias("key_idx", "key_hash")
+    )
+
+
+def bucket_stats(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Two-phase salted bucket sizing: (key_idx, key_hash, bucket_size).
+
+    Phase 1 pre-aggregates per (key, salt) so a boilerplate hot key spreads
+    over `salt_buckets` reducers; phase 2 merges the partial counts.  (For a
+    pure count Spark's map-side partial agg gives this too — the explicit
+    salt keeps the hot-key fan-out under our control and is the documented
+    two-phase pattern the north_rule requires for skewed band hashes.)
+    """
+    salted = keys.withColumn(
+        "salt", F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets))
+    )
+    phase1 = salted.groupBy("key_idx", "key_hash", "salt").agg(
+        F.count("*").alias("partial_n")
+    )
+    return phase1.groupBy("key_idx", "key_hash").agg(
+        F.sum("partial_n").alias("bucket_size")
+    )
+
+
+def _pairs_from_keys(
+    keys: DataFrame, cfg: DedupConfig, method: str
+) -> tuple[DataFrame, DataFrame]:
+    """Self-join within (key_idx, key_hash) buckets -> distinct (url_a, url_b).
+
+    Returns (pairs, skew_metrics).  Buckets with bucket_size > max_bucket_size
+    are dropped entirely and accounted in skew_metrics — at web scale these
+    are boilerplate/empty-page buckets whose quadratic pair blow-up would
+    dominate the job; the substring + exact passes still cover their members.
+    """
+    stats = bucket_stats(keys, cfg)
+    ok = stats.where(
+        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.max_bucket_size)
+    )
+    dropped = stats.where(F.col("bucket_size") > cfg.max_bucket_size)
+    skew_metrics = dropped.agg(
+        F.lit(method).alias("method"),
+        F.count("*").alias("dropped_buckets"),
+        F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("dropped_rows"),
+        F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_dropped_bucket"),
+    )
+
+    pruned = keys.join(ok.select("key_idx", "key_hash"), ["key_idx", "key_hash"])
+    left = pruned.select(
+        F.col("key_idx"), F.col("key_hash"), F.col("url").alias("url_a")
+    )
+    right = pruned.select(
+        F.col("key_idx"), F.col("key_hash"), F.col("url").alias("url_b")
+    )
+    pairs = (
+        left.join(right, ["key_idx", "key_hash"])
+        .where(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b")
+        .distinct()
+        .withColumn("method", F.lit(method))
+    )
+    return pairs, skew_metrics
+
+
+def minhash_candidates(
+    signatures: DataFrame, cfg: DedupConfig
+) -> tuple[DataFrame, DataFrame]:
+    """LSH band-bucket candidates from the `bands` column."""
+    keys = _explode_keys(signatures, "bands")
+    return _pairs_from_keys(keys, cfg, "minhash")
+
+
+def simhash_candidates(
+    signatures: DataFrame, cfg: DedupConfig
+) -> tuple[DataFrame, DataFrame]:
+    """SimHash prefix-block candidates, hamming-filtered JVM-side.
+
+    Pigeonhole: hamming distance <= simhash_max_hamming < simhash_blocks
+    guarantees the pair shares at least one block value.
+    """
+    keys = _explode_keys(signatures, "blocks")
+    raw, skew = _pairs_from_keys(keys, cfg, "simhash")
+    sig = signatures.select("url", "simhash")
+    a = sig.select(F.col("url").alias("url_a"), F.col("simhash").alias("sim_a"))
+    b = sig.select(F.col("url").alias("url_b"), F.col("simhash").alias("sim_b"))
+    filtered = (
+        raw.join(a, "url_a")
+        .join(b, "url_b")
+        .where(
+            F.bit_count(F.expr("sim_a ^ sim_b")) <= F.lit(cfg.simhash_max_hamming)
+        )
+        .select("url_a", "url_b", "method")
+    )
+    return filtered, skew
+
+
+def exact_candidates(pages: DataFrame) -> DataFrame:
+    """Exact-duplicate pairs via text-hash grouping (the hash-groupBy dedup).
+
+    Pairs each doc in a hash group with the group's minimum url — linear in
+    group size (a star, not a clique); connected components restores the
+    full group downstream.
+    """
+    hashed = pages.select(
+        "url", F.xxhash64(F.coalesce(F.col("text"), F.lit(""))).alias("text_hash")
+    )
+    keeper = hashed.groupBy("text_hash").agg(
+        F.min("url").alias("url_a"), F.count("*").alias("n")
+    )
+    return (
+        hashed.join(keeper.where(F.col("n") >= 2), "text_hash")
+        .where(F.col("url") != F.col("url_a"))
+        .select("url_a", F.col("url").alias("url_b"))
+        .withColumn("method", F.lit("exact"))
+    )
+
+
+def union_candidates(*sources: DataFrame) -> DataFrame:
+    """Union candidate sources, collecting per-pair provenance methods."""
+    unioned = sources[0]
+    for s in sources[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy("url_a", "url_b").agg(
+        F.sort_array(F.collect_set("method")).alias("methods")
+    )
+
+
+def rank_candidates(scored: DataFrame, score_col: str, k: int | None = None) -> DataFrame:
+    """Per-source rank, mirroring the reference's es_rank
+    (suricate/dbconnectors/esconnector.py:289-294): row_number over
+    (partition by url_a order by score desc, url_b)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("url_a").orderBy(F.col(score_col).desc(), F.col("url_b"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        ranked = ranked.where(F.col("rank") <= k)
+    return ranked

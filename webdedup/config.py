@@ -1,0 +1,79 @@
+"""Pinned shingle/signature configuration (the "same shingle/signature config"
+the north rule requires recall >= 0.99 against).
+
+The reference has no such config object -- its equivalents are scattered
+constants: ES top-k ``size`` (suricate/dbconnectors/esconnector.py:49),
+vectorizer ``ngram_range`` (suricate/dftransformers/vectorizer.py:20-24),
+pruning threshold 15 (tutorial/main/stepbystep/e2e.py:184-191).  Here every
+knob that changes pair semantics lives in one frozen dataclass whose hash is
+stamped into checkpoint manifests so a resumed run can prove it is resuming
+the *same* pipeline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # ---- shingling ----
+    shingle_k: int = 2          # token shingle width
+    min_tokens: int = 1         # docs with fewer tokens get a whole-doc shingle
+
+    # ---- MinHash ----
+    # r=3, b=42 -> LSH s-curve threshold (1/42)^(1/3) ~= 0.29 and detection
+    # probability 1-(1-J^3)^42 >= 0.996 at J = jaccard_threshold = 0.5 —
+    # sized so the blocking layer loses < 1% of the pairs the decision rule
+    # would accept (the north rule's recall >= 0.99 at the pinned config).
+    num_perm: int = 126         # signature length
+    bands: int = 42             # LSH bands
+    rows_per_band: int = 3      # num_perm == bands * rows_per_band
+    minhash_seed: int = 97531   # seeds the (a, b) permutation params
+
+    # ---- SimHash ----
+    simhash_bits: int = 64
+    simhash_blocks: int = 4     # prefix blocking: 4 x 16-bit blocks
+    simhash_max_hamming: int = 3
+
+    # ---- substring (suffix-anchor) pass ----
+    anchor_len: int = 24        # char-gram anchor width
+    anchor_stride: int = 8      # sample an anchor every `stride` chars
+    anchor_max_docs: int = 64   # anchors shared by more docs are boilerplate -> dropped
+    min_overlap_chars: int = 200  # planted-substring detection threshold
+
+    # ---- candidate generation ----
+    max_bucket_size: int = 256  # LSH buckets larger than this are capped (logged, not silent)
+    salt_buckets: int = 16      # salting fan-out for the two-phase bucket-size aggregation
+
+    # ---- verification / classification thresholds ----
+    jaccard_threshold: float = 0.5   # exact (hashed-shingle) Jaccard to call a pair dup
+    sure_threshold: float = 0.85     # triage: >= -> sure match (2)
+    nomatch_threshold: float = 0.2   # triage: <  -> no match (0); between -> mixed (1)
+
+    # ---- triage clustering (maps suricate KBinsCluster n_clusters=10/25) ----
+    triage_bins: int = 10
+
+    navalue_score: float = 0.0  # suricate/metrics/metrics.py:34
+
+    def __post_init__(self) -> None:
+        if self.num_perm != self.bands * self.rows_per_band:
+            raise ValueError(
+                f"num_perm ({self.num_perm}) must equal bands*rows_per_band "
+                f"({self.bands}*{self.rows_per_band})"
+            )
+
+    def config_hash(self) -> str:
+        """Stable hash of every semantic knob; stamped into stage manifests."""
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+
+# String sentinels canonicalized to NULL before any scoring.
+# Verbatim semantics of suricate/preutils/preprocessing.py:208-212 (navalues).
+NAVALUES = [
+    "#", "None", "-", "nan", "n.a.", " ", "", "#REF!", "#N/A",
+    "#NAME?", "#DIV/0!", "#NUM!", "NaT", "NULL",
+]

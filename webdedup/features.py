@@ -1,0 +1,182 @@
+"""Pair similarity features — the "score matrix" stage.
+
+Maps the reference's comparator surface (suricate/preutils/similarityscores.py,
+suricate/dftransformers/*, suricate/sbstransformers/*) onto candidate pairs:
+
+  feature            reference                              here
+  ------------------ -------------------------------------- -------------------------
+  exact_score        similarityscores.py:7-20               native null-safe equality
+  simple_score       fuzzywuzzy ratio (2M/T), :23-37        pandas UDF, difflib
+                                                            SequenceMatcher == the
+                                                            fuzzywuzzy pure-python
+                                                            fallback -> exact parity
+  token_score        token_SORT_ratio (naming trap :2,42)   pandas UDF: sort+join+ratio
+  contains_score     substring either way, :56-75           native F.contains
+  tfidf cosine       vectorizer.py:151-167                  replaced by minhash_sim +
+                                                            exact shingle Jaccard
+  navalue_score=0    metrics/metrics.py:34                  F.coalesce(score, 0.0)
+
+Everything except the two ratio comparators is JVM-side.  The ratio UDFs run
+only on candidate pairs (already blocked) over length-capped text — the
+reference's own lesson (its `apply(axis=1)` comparators were its bottleneck).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from webdedup.config import DedupConfig
+from webdedup.normalize import token_set
+
+# ratio comparators see at most this many chars (candidates only, post-block)
+LEV_TEXT_CAP = 512
+
+
+# --------------------------------------------------------------------------
+# native column features
+# --------------------------------------------------------------------------
+
+def exact_score(a: Column, b: Column) -> Column:
+    """float(a == b); null in either -> 0.0 (navalue_score)."""
+    return F.when(a.isNull() | b.isNull(), 0.0).otherwise((a == b).cast("double"))
+
+
+def contains_score(a: Column, b: Column) -> Column:
+    """1.0 if either string contains the other (similarityscores.py:56-75)."""
+    return F.when(a.isNull() | b.isNull(), 0.0).otherwise(
+        (a.contains(b) | b.contains(a)).cast("double")
+    )
+
+
+def jaccard_arrays(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two array columns (token sets or hashed shingles)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_similarity(a: Column, b: Column, num_perm: int) -> Column:
+    """Fraction of agreeing MinHash positions == unbiased Jaccard estimate."""
+    agree = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return agree / F.lit(float(num_perm))
+
+
+def simhash_similarity(a: Column, b: Column, bits: int = 64) -> Column:
+    """1 - hamming/bits via native bit_count(xor)."""
+    ham = F.bit_count(a.bitwiseXOR(b))
+    return F.lit(1.0) - ham / F.lit(float(bits))
+
+
+# --------------------------------------------------------------------------
+# ratio comparators (pandas UDFs; difflib C fast path, fuzzywuzzy semantics)
+# --------------------------------------------------------------------------
+
+def _ratio_block(a_vals, b_vals) -> np.ndarray:
+    from difflib import SequenceMatcher
+
+    out = np.zeros(len(a_vals), dtype=np.float64)
+    for i, (x, y) in enumerate(zip(a_vals, b_vals)):
+        if x is None or y is None or (isinstance(x, float) and np.isnan(x)):
+            continue
+        x = str(x)[:LEV_TEXT_CAP]
+        y = str(y)[:LEV_TEXT_CAP]
+        if not x or not y:
+            continue
+        # SequenceMatcher.ratio == 2*M/T — exactly fuzzywuzzy's pure-python
+        # ratio (fuzzywuzzy falls back to difflib without python-Levenshtein)
+        out[i] = SequenceMatcher(None, x, y, autojunk=False).ratio()
+    return out
+
+
+@F.pandas_udf(T.DoubleType())
+def simple_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(_ratio_block(a.to_numpy(), b.to_numpy()))
+
+
+@F.pandas_udf(T.DoubleType())
+def token_sort_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
+    def sort_toks(s):
+        return s.fillna("").map(lambda x: " ".join(sorted(str(x)[:LEV_TEXT_CAP].lower().split())))
+
+    return pd.Series(_ratio_block(sort_toks(a).to_numpy(), sort_toks(b).to_numpy()))
+
+
+# --------------------------------------------------------------------------
+# side-by-side view + feature table
+# --------------------------------------------------------------------------
+
+def build_sbs(pairs: DataFrame, docs: DataFrame, cols: list[str]) -> DataFrame:
+    """Pair-restricted side-by-side view: two hash joins of the pair list to
+    the doc table (suricate/dftransformers/cartesian.py:168-188 semantics),
+    columns suffixed _source/_target."""
+    src = docs.select(
+        F.col("url").alias("url_a"), *[F.col(c).alias(f"{c}_source") for c in cols]
+    )
+    tgt = docs.select(
+        F.col("url").alias("url_b"), *[F.col(c).alias(f"{c}_target") for c in cols]
+    )
+    return pairs.join(src, "url_a").join(tgt, "url_b")
+
+
+FEATURE_COLS = [
+    "minhash_sim",
+    "shingle_jaccard",
+    "simhash_sim",
+    "token_jaccard",
+    "lev_ratio",
+    "tok_sort_ratio",
+    "contains",
+    "lang_exact",
+]
+
+
+def compute_features(
+    pairs: DataFrame, docs: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Candidate pairs -> feature table (url_a, url_b, methods?, f_1..f_k).
+
+    ``docs`` must carry (url, text, lang, shingles, minhash, simhash) — i.e.
+    pages joined with compute_signatures output.  All nulls imputed to
+    navalue_score=0.0 per the reference convention.
+    """
+    doc_cols = ["text", "lang", "shingles", "minhash", "simhash"]
+    sbs = build_sbs(pairs, docs, doc_cols)
+    # token sets derived in the same JVM stage (no extra shuffle)
+    sbs = sbs.withColumn("toks_source", token_set(F.col("text_source"))).withColumn(
+        "toks_target", token_set(F.col("text_target"))
+    )
+    lev_a = F.substring(F.col("text_source"), 1, LEV_TEXT_CAP)
+    lev_b = F.substring(F.col("text_target"), 1, LEV_TEXT_CAP)
+    carry = [c for c in pairs.columns if c not in ("url_a", "url_b")]
+    feat = sbs.select(
+        "url_a",
+        "url_b",
+        *carry,
+        F.coalesce(
+            minhash_similarity(F.col("minhash_source"), F.col("minhash_target"), cfg.num_perm),
+            F.lit(0.0),
+        ).alias("minhash_sim"),
+        F.coalesce(
+            jaccard_arrays(F.col("shingles_source"), F.col("shingles_target")), F.lit(0.0)
+        ).alias("shingle_jaccard"),
+        F.coalesce(
+            simhash_similarity(F.col("simhash_source"), F.col("simhash_target"), cfg.simhash_bits),
+            F.lit(0.0),
+        ).alias("simhash_sim"),
+        F.coalesce(
+            jaccard_arrays(F.col("toks_source"), F.col("toks_target")), F.lit(0.0)
+        ).alias("token_jaccard"),
+        F.coalesce(simple_ratio(lev_a, lev_b), F.lit(0.0)).alias("lev_ratio"),
+        F.coalesce(token_sort_ratio(lev_a, lev_b), F.lit(0.0)).alias("tok_sort_ratio"),
+        contains_score(F.col("text_source"), F.col("text_target")).alias("contains"),
+        exact_score(F.col("lang_source"), F.col("lang_target")).alias("lang_exact"),
+    )
+    return feat

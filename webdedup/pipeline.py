@@ -1,0 +1,124 @@
+"""End-to-end dedup pipeline — the PruningPipe equivalent.
+
+Stage DAG (each stage optionally a checkpointed snapshot table):
+
+  pages ─ signatures ─┬─ minhash band candidates ──┐
+        │             └─ simhash block candidates ─┤
+        ├─ exact text-hash candidates ─────────────┼─ union ─ features ─ decide ─ CC ─ clusters ─ golden
+        └─ substring anchor candidates ─ verify ───┘
+
+Mirrors the reference's flagship `PruningPipe._pipe`
+(suricate/pipeline/pruningpipe.py:59-135): candidates == its pruned pair
+space, features == its score matrix, decide == triage + classifier +
+assembly, CC == its `SingleGrouping` transitive gid propagation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webdedup import candidates as cand
+from webdedup import substring as sub
+from webdedup.checkpoint import Checkpointer, input_fingerprint
+from webdedup.cluster import assign_clusters, connected_components, golden_records
+from webdedup.config import DedupConfig
+from webdedup.features import compute_features
+from webdedup.signatures import compute_signatures
+from webdedup.triage import triage_rule
+
+
+def run_dedup(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: DedupConfig | None = None,
+    checkpoint_dir: str | None = None,
+    with_substring: bool = True,
+    with_golden: bool = True,
+) -> dict[str, DataFrame]:
+    """Run the full pipeline; returns every intermediate as a DataFrame.
+
+    pages: (url, warc_ts?, html?, text, lang?) — url unique non-null.
+    """
+    cfg = cfg or DedupConfig()
+    ckpt = (
+        Checkpointer(spark, checkpoint_dir, cfg) if checkpoint_dir else None
+    )
+    fp = input_fingerprint(pages, ["url"]) if ckpt else ""
+
+    def staged(name, fn, parents=None, **kw):
+        if ckpt:
+            return ckpt.stage(name, fn, parents=parents or [], input_fingerprint=fp, **kw)
+        # no checkpoint dir: persist in memory/disk — each stage feeds several
+        # consumers (e.g. signatures -> minhash + simhash candidate sources)
+        return fn().persist()
+
+    # -- 1. signatures -------------------------------------------------------
+    signatures = staged("signatures", lambda: compute_signatures(pages, cfg))
+
+    # -- 2. candidates (four sources, provenance-tagged) ---------------------
+    def build_candidates() -> DataFrame:
+        mh_pairs, mh_skew = cand.minhash_candidates(signatures, cfg)
+        sh_pairs, sh_skew = cand.simhash_candidates(signatures, cfg)
+        ex_pairs = cand.exact_candidates(pages)
+        sources = [mh_pairs, sh_pairs, ex_pairs]
+        if with_substring:
+            ss_pairs, ss_skew = sub.substring_candidates(pages, cfg)
+            verified = sub.verify_overlaps(ss_pairs, pages, cfg)
+            sources.append(
+                verified.select("url_a", "url_b").withColumn("method", F.lit("substring"))
+            )
+        return cand.union_candidates(*sources)
+
+    pairs = staged("candidates", build_candidates, parents=["signatures"])
+
+    # -- 3. features ----------------------------------------------------------
+    docs = pages.select("url", "text", "lang").join(
+        signatures.select("url", "shingles", "minhash", "simhash"), "url"
+    )
+    features = staged(
+        "features",
+        lambda: compute_features(pairs, docs, cfg),
+        parents=["candidates"],
+    )
+
+    # -- 4. decision (rule triage; ML path in classify.py) --------------------
+    decided = staged(
+        "decisions",
+        lambda: triage_rule(features, cfg),
+        parents=["features"],
+    )
+    matches = decided.where(F.col("is_dup") == 1)
+
+    # -- 5. connected components -> gid --------------------------------------
+    def build_clusters() -> DataFrame:
+        comp = connected_components(matches.select("url_a", "url_b"))
+        return assign_clusters(pages.select("url", "warc_ts", "text", "lang"), comp).select(
+            "url", "gid"
+        )
+
+    clusters = staged("clusters", build_clusters, parents=["decisions"])
+
+    out: dict[str, DataFrame] = {
+        "signatures": signatures,
+        "candidates": pairs,
+        "features": features,
+        "decisions": decided,
+        "clusters": clusters,
+    }
+
+    # -- 6. golden records -----------------------------------------------------
+    if with_golden:
+        clustered = pages.join(clusters, "url")
+        out["golden"] = staged(
+            "golden",
+            lambda: golden_records(
+                clustered,
+                policies={"url": "first", "text": "first", "lang": "popularity"},
+            ),
+            parents=["clusters"],
+        )
+
+    if ckpt:
+        out["_checkpointer"] = ckpt  # type: ignore[assignment]
+    return out
