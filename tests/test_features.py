@@ -1,0 +1,120 @@
+"""Comparator goldens — reference semantics parity (SURVEY §2.4, §7.3).
+
+The ratio comparators must reproduce fuzzywuzzy's pure-python semantics,
+which are difflib.SequenceMatcher.ratio == 2*M/T (suricate/preutils/
+similarityscores.py:23-54); difflib itself is the oracle here, plus
+hand-computed goldens mirroring the reference's foo fixture assertions
+(tests/connectors/test_connectors.py:84: np.nansum(exact)==2).
+"""
+
+from difflib import SequenceMatcher
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from webdedup.features import (
+    build_sbs,
+    contains_score,
+    exact_score,
+    jaccard_arrays,
+    minhash_similarity,
+    simple_ratio,
+    token_sort_ratio,
+)
+from webdedup.normalize import lower_ascii, null_canon, token_set, tokens
+
+
+@pytest.fixture(scope="module")
+def pairs_df(spark):
+    # the foo fixture shape: 3x3 cartesian of ['foo','bar','ninja'] x ['foo','bar','baz']
+    src = ["foo", "bar", "ninja"]
+    tgt = ["foo", "bar", "baz"]
+    rows = [(a, b) for a in src for b in tgt]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["a", "b"]))
+
+
+def test_exact_score_foo_golden(spark, pairs_df):
+    # np.nansum(exact) == 2 on the foo cartesian (test_connectors.py:84)
+    total = pairs_df.select(F.sum(exact_score(F.col("a"), F.col("b"))).alias("s")).first()["s"]
+    assert total == 2.0
+
+
+def test_exact_score_null_is_zero(spark):
+    df = spark.createDataFrame(pd.DataFrame({"a": ["x", None], "b": [None, None]}))
+    vals = [r[0] for r in df.select(exact_score(F.col("a"), F.col("b"))).collect()]
+    assert vals == [0.0, 0.0]
+
+
+def test_contains_score(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": ["hello world", "abc", None], "b": ["hello", "xyz", "abc"]})
+    )
+    vals = [r[0] for r in df.select(contains_score(F.col("a"), F.col("b"))).collect()]
+    assert vals == [1.0, 0.0, 0.0]
+
+
+def test_simple_ratio_matches_difflib(spark):
+    cases = [
+        ("hello world", "hello wrld"),
+        ("foo", "foo"),
+        ("foo", "bar"),
+        ("the quick brown fox", "quick brown fox the"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(cases, columns=["a", "b"]))
+    got = [r[0] for r in df.select(simple_ratio(F.col("a"), F.col("b"))).collect()]
+    want = [SequenceMatcher(None, a, b, autojunk=False).ratio() for a, b in cases]
+    assert got == pytest.approx(want)
+    assert got[1] == 1.0 and got[0] > 0.9
+
+
+def test_token_sort_ratio_order_invariant(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": ["world hello big", "a b c"], "b": ["big hello world", "c a d"]})
+    )
+    got = [r[0] for r in df.select(token_sort_ratio(F.col("a"), F.col("b"))).collect()]
+    assert got[0] == 1.0  # same tokens, different order
+    want = SequenceMatcher(None, "a b c", "a c d", autojunk=False).ratio()
+    assert got[1] == pytest.approx(want)
+
+
+def test_jaccard_arrays(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [[1, 2, 3], [1], []], "b": [[2, 3, 4], [2], []]})
+    )
+    got = [r[0] for r in df.select(jaccard_arrays(F.col("a"), F.col("b"))).collect()]
+    assert got == pytest.approx([2 / 4, 0.0, 0.0])
+
+
+def test_minhash_similarity_fraction(spark):
+    df = spark.createDataFrame(pd.DataFrame({"a": [[1, 2, 3, 4]], "b": [[1, 2, 9, 9]]}))
+    got = df.select(minhash_similarity(F.col("a"), F.col("b"), 4)).first()[0]
+    assert got == pytest.approx(0.5)
+
+
+def test_null_canon_and_lower_ascii(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"s": ["#N/A", "  ", "Héllo Wörld", "NULL", "ok"]})
+    )
+    got = [r[0] for r in df.select(lower_ascii(F.col("s"))).collect()]
+    assert got[0] is None and got[1] is None and got[3] is None
+    assert got[2] == "hello world"
+    assert got[4] == "ok"
+
+
+def test_tokens_and_token_set(spark):
+    df = spark.createDataFrame(pd.DataFrame({"s": ["Hello, big-World / hello"]}))
+    toks = df.select(tokens(F.col("s"))).first()[0]
+    assert toks == ["hello", "big", "world", "hello"]
+    tset = df.select(token_set(F.col("s"))).first()[0]
+    assert sorted(tset) == ["big", "hello", "world"]
+
+
+def test_build_sbs_suffixing(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"url": ["u1", "u2"], "text": ["t1", "t2"], "lang": ["en", "de"]})
+    )
+    pairs = spark.createDataFrame(pd.DataFrame({"url_a": ["u1"], "url_b": ["u2"]}))
+    row = build_sbs(pairs, docs, ["text", "lang"]).first()
+    assert row["text_source"] == "t1" and row["text_target"] == "t2"
+    assert row["lang_source"] == "en" and row["lang_target"] == "de"

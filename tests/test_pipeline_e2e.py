@@ -1,0 +1,107 @@
+"""End-to-end pipeline tests: planted-truth recall (north rule >= 0.99),
+brute-force parity at the same config, text invariant, checkpoint resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from webdedup.config import DedupConfig
+from webdedup.features import jaccard_arrays
+from webdedup.metrics import (
+    canonical_pairs,
+    pair_metrics,
+    pairs_from_clusters,
+    recall_by_type,
+    text_invariant_violations,
+)
+from webdedup.pipeline import run_dedup
+from webdedup.signatures import compute_signatures
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus, cfg):
+    return run_dedup(spark, corpus["pages"], cfg)
+
+
+def test_recall_vs_planted_truth(spark, corpus, result):
+    pred = pairs_from_clusters(result["clusters"])
+    truth = corpus["truth_pairs"].select("url_a", "url_b")
+    m = pair_metrics(pred, truth)
+    assert m["recall"] >= 0.99, m
+    assert m["precision"] >= 0.95, m
+
+
+def test_recall_per_dup_type(spark, corpus, result):
+    pred = pairs_from_clusters(result["clusters"])
+    rows = recall_by_type(pred, corpus["truth_pairs"]).collect()
+    for r in rows:
+        assert r["recall"] >= 0.95, (r["dup_type"], r["recall"])
+
+
+def test_parity_vs_bruteforce_oracle(spark, corpus, cfg, result):
+    """The north-rule check: the LSH pipeline must recover >= 0.99 of the
+    pairs a brute-force all-pairs pass (the reference's cartesian connector,
+    suricate/preutils/indextools.py:105-118) accepts at the SAME config."""
+    sigs = compute_signatures(corpus["pages"], cfg).select("url", "shingles")
+    a = sigs.select(F.col("url").alias("url_a"), F.col("shingles").alias("sh_a"))
+    b = sigs.select(F.col("url").alias("url_b"), F.col("shingles").alias("sh_b"))
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("url_a") < F.col("url_b"))
+        .withColumn("j", jaccard_arrays(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("j") >= cfg.jaccard_threshold)
+        .select("url_a", "url_b")
+    )
+    # compare against transitive pipeline output (CC closure), like the
+    # reference's gid propagation
+    pred = canonical_pairs(pairs_from_clusters(result["clusters"]))
+    n_oracle = brute.count()
+    n_hit = brute.join(pred, ["url_a", "url_b"], "inner").count()
+    assert n_oracle > 50  # sanity: the oracle found real dups
+    assert n_hit / n_oracle >= 0.99, (n_hit, n_oracle)
+
+
+def test_text_invariant(spark, corpus, result):
+    # decisions/clusters never rewrite text; compare pages against itself
+    # after a pass through the pipeline-joined projection
+    clustered = corpus["pages"].join(result["clusters"], "url")
+    assert text_invariant_violations(corpus["pages"], clustered) == 0
+
+
+def test_candidates_carry_provenance(result):
+    methods = {
+        m
+        for r in result["candidates"].select("methods").collect()
+        for m in r["methods"]
+    }
+    assert {"exact", "minhash"} <= methods
+    assert "substring" in methods or "simhash" in methods
+
+
+def test_checkpoint_resume(spark, corpus, cfg, tmp_path):
+    ck = str(tmp_path / "ck")
+    out1 = run_dedup(spark, corpus["pages"], cfg, checkpoint_dir=ck, with_golden=False)
+    ev1 = [(e["stage"], e["action"]) for e in out1["_checkpointer"].events]
+    assert all(a == "computed" for _, a in ev1)
+    n1 = out1["clusters"].count()
+
+    out2 = run_dedup(spark, corpus["pages"], cfg, checkpoint_dir=ck, with_golden=False)
+    ev2 = [(e["stage"], e["action"]) for e in out2["_checkpointer"].events]
+    assert all(a == "resumed" for _, a in ev2)
+    assert out2["clusters"].count() == n1
+
+    # manifests carry lineage: per-partition counts + config hash
+    man = out2["_checkpointer"].manifest("candidates")
+    assert man["config_hash"] == cfg.config_hash()
+    assert sum(man["partition_counts"].values()) == man["row_count"]
+    assert man["parents"]["signatures"]
+
+    # a changed semantic knob invalidates downstream stages
+    out3 = run_dedup(
+        spark,
+        corpus["pages"],
+        DedupConfig(jaccard_threshold=0.6),
+        checkpoint_dir=ck,
+        with_golden=False,
+    )
+    ev3 = [(e["stage"], e["action"]) for e in out3["_checkpointer"].events]
+    assert all(a == "computed" for _, a in ev3)

@@ -124,8 +124,11 @@ def generate_pages(
                     pre = _base_text(rng, int(rng.integers(20, 60)))
                     post = _base_text(rng, int(rng.integers(20, 60)))
                     vtext = f"{pre} {span} {post}"
-                for m in members:
-                    dup_types[(m, i)] = str(kind)
+                # kind describes the base->variant relation; pairs between two
+                # variants are reachable only transitively
+                dup_types[(members[0], i)] = str(kind)
+                for m in members[1:]:
+                    dup_types[(m, i)] = "transitive"
                 members.append(i)
                 rows.append({"i": i, "text": vtext, "lang": lang})
                 i += 1

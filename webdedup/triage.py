@@ -114,11 +114,12 @@ def triage_learned(
     features: DataFrame,
     labels: DataFrame,
     cfg: DedupConfig,
+    cols: list[str] | None = None,
 ) -> DataFrame:
     """Explorer-style learned triage: kbins on feature sum, cluster classes
     from labels, broadcast-joined back; unknown clusters -> 0 (the
     reference's printed-warning path, clusterclassifier.py:117-126)."""
-    clustered = kbins_cluster(features, cfg.triage_bins)
+    clustered = kbins_cluster(features, cfg.triage_bins, cols=cols)
     stats = cluster_matches(clustered, labels)
     classes = classify_clusters(stats)
     return clustered.join(F.broadcast(classes), "cluster", "left").withColumn(
