@@ -1,0 +1,98 @@
+"""Scaling-efficiency protocol (BASELINE.md): same job, same input, at
+local[N] and local[4N]; efficiency = (T_N / T_4N) / 4, target >= 0.8.
+Outputs are checksum-compared (determinism under parallelism change) and the
+results are written to BENCH/BASELINE.md.
+
+Each parallelism level runs in its own subprocess (own JVM) so the two
+measurements share nothing but the input parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HERE = Path(__file__).parent
+N_DOCS = int(os.environ.get("SCALING_DOCS", "60000"))
+N_SMALL = int(os.environ.get("SCALING_CORES_N", "8"))
+N_BIG = 4 * N_SMALL
+
+
+def make_input(path: Path, n_docs: int) -> None:
+    """Generate the synthetic corpus once and snapshot it as parquet."""
+    from webdedup.session import get_spark
+    from webdedup.synth import generate_pages, pages_to_spark
+
+    if (path / "_SUCCESS").exists():
+        return
+    spark = get_spark(app_name="scaling-datagen", cores=N_BIG)
+    pages_pd, _, _ = generate_pages(n_docs=n_docs, seed=42)
+    pages_to_spark(spark, pages_pd, partitions=64).write.mode("overwrite").parquet(
+        str(path)
+    )
+    spark.stop()
+
+
+def run_level(cores: int, input_dir: Path) -> dict:
+    out = subprocess.run(
+        [sys.executable, str(HERE / "run_one.py"), "--cores", str(cores), "--input", str(input_dir)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    input_dir = HERE / "data" / f"pages_{N_DOCS}"
+    make_input(input_dir, N_DOCS)
+
+    small = run_level(N_SMALL, input_dir)
+    big = run_level(N_BIG, input_dir)
+
+    same_output = small["clusters_checksum"] == big["clusters_checksum"]
+    efficiency = (small["wall_sec"] / big["wall_sec"]) / (N_BIG / N_SMALL)
+
+    result = {
+        "n_docs": N_DOCS,
+        f"local[{N_SMALL}]": small,
+        f"local[{N_BIG}]": big,
+        "deterministic_output": same_output,
+        "scaling_efficiency": round(efficiency, 3),
+        "target": 0.8,
+        "pass": bool(same_output and efficiency >= 0.8),
+    }
+    print(json.dumps(result, indent=2))
+
+    md = f"""# BENCH/BASELINE.md — measured scaling evidence
+
+North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
+executors.  Sandbox evidence (no real cluster): the same full dedup pipeline
+(signatures -> LSH candidates -> features -> decisions -> connected
+components) on the identical {N_DOCS}-page synthetic corpus at
+local[{N_SMALL}] vs local[{N_BIG}], one JVM per run.
+
+| parallelism | wall (s) | docs/sec |
+|---|---|---|
+| local[{N_SMALL}] | {small["wall_sec"]} | {small["docs_per_sec"]} |
+| local[{N_BIG}] | {big["wall_sec"]} | {big["docs_per_sec"]} |
+
+- **scaling efficiency** = (T_{N_SMALL} / T_{N_BIG}) / {N_BIG // N_SMALL} = **{efficiency:.3f}** (target >= 0.8)
+- **deterministic output** under parallelism change: {"YES" if same_output else "NO"}
+  (md5 over sorted (url, gid): `{small["clusters_checksum"]}`)
+
+Protocol: BENCH/scaling.py (subprocess per level), input snapshot at
+BENCH/data/pages_{N_DOCS}. Regenerate with `python BENCH/scaling.py`.
+"""
+    (HERE / "BASELINE.md").write_text(md)
+    print(f"wrote {HERE / 'BASELINE.md'}")
+
+
+if __name__ == "__main__":
+    main()
