@@ -54,20 +54,21 @@ def bucket_stats(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def _pairs_from_keys(
-    keys: DataFrame, cfg: DedupConfig, method: str
+    keys: DataFrame, cfg: DedupConfig, method: str, max_bucket: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Self-join within (key_idx, key_hash) buckets -> distinct (url_a, url_b).
 
-    Returns (pairs, skew_metrics).  Buckets with bucket_size > max_bucket_size
+    Returns (pairs, skew_metrics).  Buckets with bucket_size > max_bucket
     are dropped entirely and accounted in skew_metrics — at web scale these
     are boilerplate/empty-page buckets whose quadratic pair blow-up would
     dominate the job; the substring + exact passes still cover their members.
     """
+    max_bucket = max_bucket or cfg.max_bucket_size
     stats = bucket_stats(keys, cfg)
     ok = stats.where(
-        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.max_bucket_size)
+        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= max_bucket)
     )
-    dropped = stats.where(F.col("bucket_size") > cfg.max_bucket_size)
+    dropped = stats.where(F.col("bucket_size") > max_bucket)
     skew_metrics = dropped.agg(
         F.lit(method).alias("method"),
         F.count("*").alias("dropped_buckets"),

@@ -31,25 +31,38 @@ from webdedup.normalize import tokens
 # shingles (JVM-side)
 # --------------------------------------------------------------------------
 
-def shingle_hashes(text_col: Column, k: int) -> Column:
-    """Distinct xxhash64 values of the k-token shingles of ``text_col``.
+def shingle_hashes_from_tokens(toks: Column, k: int) -> Column:
+    """Distinct xxhash64 values of the k-token shingles of a token ARRAY
+    COLUMN (must be a bound attribute, not an inline expression — see
+    shingle_hashes below).
 
-    Built natively: tokens -> sequence(0, n-k) -> slice -> array_join ->
-    xxhash64.  Docs shorter than k tokens contribute their whole token string
-    as a single shingle (so short docs still participate).
+    Built natively: sequence(0, n-k) -> slice -> array_join -> xxhash64.
+    Docs shorter than k tokens contribute their whole token string as a
+    single shingle (so short docs still participate).
     Returns array<long> (distinct, unsorted).
     """
-    toks = tokens(text_col)
     n = F.size(toks)
-    joined = F.array_join(toks, " ")
     shingles = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(0), n - k),
             lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
         ),
-    ).otherwise(F.array(F.xxhash64(joined)))
+    ).otherwise(F.array(F.xxhash64(F.array_join(toks, " "))))
     return F.array_distinct(shingles)
+
+
+def shingle_hashes(text_col: Column, k: int) -> Column:
+    """Shingle hashes straight from a text column.
+
+    PERFORMANCE TRAP: higher-order functions are CodegenFallback, and every
+    expression captured inside a transform() lambda is re-evaluated PER
+    ELEMENT.  Passing tokens(text) inline here makes the regex tokenizer run
+    once per shingle position — O(n^2) per document (measured 30x slowdown).
+    Only use this form for tiny inputs/tests; production paths must
+    materialize the token array as a column first (see compute_signatures).
+    """
+    return shingle_hashes_from_tokens(tokens(text_col), k)
 
 
 # --------------------------------------------------------------------------
@@ -222,15 +235,19 @@ def compute_signatures(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     """pages(url, text, ...) -> (url, n_tokens, shingles, minhash, simhash, bands, blocks).
 
     One JVM pass builds shingle hashes; the two pandas UDFs share the same
-    shingle array column so the text is tokenized exactly once.
+    shingle array column so the text is tokenized exactly once.  Tokens are
+    materialized as a column BEFORE shingling so the transform() lambda
+    captures a bound attribute — an inline tokens() expression would be
+    re-evaluated per shingle position (O(n^2), CodegenFallback; measured
+    ~30x slower at 8k docs).
     """
     minhash_udf = make_minhash_udf(cfg)
     simhash_udf = make_simhash_udf(cfg)
-    sh = shingle_hashes(F.col("text"), cfg.shingle_k)
-    df = pages.select(
+    toks_df = pages.select("url", tokens(F.col("text")).alias("toks"))
+    df = toks_df.select(
         "url",
-        F.size(tokens(F.col("text"))).alias("n_tokens"),
-        sh.alias("shingles"),
+        F.size("toks").alias("n_tokens"),
+        shingle_hashes_from_tokens(F.col("toks"), cfg.shingle_k).alias("shingles"),
     )
     df = df.withColumn("minhash", minhash_udf("shingles")).withColumn(
         "simhash", simhash_udf("shingles")

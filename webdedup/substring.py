@@ -3,66 +3,55 @@
 A doc embedding a >=200-char span of another doc can sit far below any
 Jaccard threshold (the container dilutes the shingle set) — the reference's
 `contains_score` (suricate/preutils/similarityscores.py:56-75) only handles
-whole-string containment and only per pair.  At scale we do it in two stages:
+whole-string containment and only per pair.  At scale we do it in two
+fully-JVM stages:
 
-  1. **Anchor blocking** (JVM-side): hash fixed-width char grams sampled at a
-     stride from the raw text; docs sharing a *rare* anchor (2..max docs)
-     become candidate pairs.  Any common substring of length
-     >= anchor_len + stride - 1 is guaranteed to contain at least one fully
-     aligned sampled anchor on one side — we sample anchors on a stride-1
-     grid on one side of the join (small side) or, cheaper and symmetric:
-     stride-sampled on both sides guarantees detection for overlaps
-     >= 2*stride + anchor_len (we size min_overlap_chars comfortably above).
-     To keep the guarantee tight we sample *all* positions mod stride on the
-     left and every position on the right?  No — both sides stride-sampled
-     with the SAME grid only matches aligned offsets.  Instead: left side
-     emits anchors at every position (dense), right side at stride positions.
-     Density is bounded by doc length; at web scale the dense side uses a
-     longer stride with a rolling-hash pandas UDF.  v1: dense side = stride 1
-     is too hot, so we use stride on both sides but over a *canonical* grid:
-     anchors start at positions where xxhash(gram) % stride == 0 — a
-     content-defined (Winnowing-style, Schleimer et al. 2003) selection that
-     is alignment-invariant, so both docs select the same anchors inside any
-     shared span.
+  1. **Anchor blocking**: hash every anchor_len char-gram of the raw text,
+     keep grams whose hash % stride == 0 — a content-defined (Winnowing-
+     style, Schleimer et al., SIGMOD 2003) selection that is alignment-
+     invariant: two docs sharing a long span select the SAME grams inside
+     it, at any offset.  Docs sharing a rare selected gram (2..anchor_max
+     docs; hotter grams are boilerplate) become candidate pairs.
 
-  2. **Verification** (mapInPandas batch): for each candidate pair, the
-     longest common substring is computed (difflib C fast path) and pairs
-     with overlap >= min_overlap_chars survive, scored by overlap length.
+  2. **Verification**: for the docs that appear in candidate pairs ONLY,
+     compute the dense set of xxhash64(L-grams) (L = min_overlap_chars) and
+     verify each pair by native array_intersect — a shared L-gram IS an
+     exact >=L-char common substring (modulo 64-bit hash collision).  This
+     replaces an earlier difflib longest-common-substring mapInPandas pass
+     that was ~10x slower and kept the hot path in Python.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from webdedup.candidates import _pairs_from_keys
 from webdedup.config import DedupConfig
 
 
 def anchor_keys(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Content-defined anchors: hash every anchor_len char-gram, keep grams
-    whose hash % stride == 0 (Winnowing-style selection — alignment
-    invariant, so a shared span >= anchor_len + stride*E[gap] yields shared
-    anchors regardless of offset).  All JVM-side: sequence/transform/filter.
+    """Content-defined anchors as (url, key_idx=0, key_hash) rows.
+
+    All JVM-side.  The text column is referenced through a materialized
+    projection so the transform() lambda captures a bound attribute (see
+    signatures.py on the CodegenFallback re-evaluation trap).
     """
     alen, stride = cfg.anchor_len, cfg.anchor_stride
-    text = F.coalesce(F.col("text"), F.lit(""))
-    n = F.length(text)
+    base = pages.select("url", F.coalesce(F.col("text"), F.lit("")).alias("t"))
+    t = F.col("t")
+    n = F.length(t)
     grams = F.when(
         n >= alen,
         F.transform(
             F.sequence(F.lit(1), n - alen + 1),
-            lambda i: F.xxhash64(F.substring(text, i, alen)),
+            lambda i: F.xxhash64(F.substring(t, i, alen)),
         ),
     ).otherwise(F.array())
     selected = F.array_distinct(
         F.filter(grams, lambda h: F.pmod(h, F.lit(stride)) == 0)
     )
-    return pages.select("url", F.explode(selected).alias("key_hash")).withColumn(
+    return base.select("url", F.explode(selected).alias("key_hash")).withColumn(
         "key_idx", F.lit(0)
     )
 
@@ -72,52 +61,55 @@ def substring_candidates(
 ) -> tuple[DataFrame, DataFrame]:
     """(pairs(url_a, url_b, method='substring'), skew_metrics)."""
     keys = anchor_keys(pages, cfg)
-    return _pairs_from_keys(keys, cfg, "substring")
+    return _pairs_from_keys(keys, cfg, "substring", max_bucket=cfg.anchor_max_docs)
 
 
-_VERIFY_SCHEMA = T.StructType(
-    [
-        T.StructField("url_a", T.StringType()),
-        T.StructField("url_b", T.StringType()),
-        T.StructField("overlap_len", T.IntegerType()),
-    ]
-)
+def _dense_gram_sets(docs: DataFrame, length: int) -> DataFrame:
+    """(url, grams array<long>): xxhash64 of EVERY length-char gram.
+
+    O(n * length) JVM work per doc — only ever applied to candidate-pair
+    members, never the full corpus."""
+    base = docs.select("url", F.coalesce(F.col("text"), F.lit("")).alias("t"))
+    t = F.col("t")
+    n = F.length(t)
+    grams = F.when(
+        n >= length,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - length + 1),
+                lambda i: F.xxhash64(F.substring(t, i, length)),
+            )
+        ),
+    ).otherwise(F.array())
+    return base.select("url", grams.alias("grams"))
 
 
 def verify_overlaps(
     pairs: DataFrame, pages: DataFrame, cfg: DedupConfig
 ) -> DataFrame:
-    """Join texts onto candidate pairs and measure the longest common
-    substring per pair (mapInPandas, difflib C implementation).  Returns
-    (url_a, url_b, overlap_len) for pairs meeting min_overlap_chars."""
-    min_overlap = cfg.min_overlap_chars
-    texts = pages.select("url", "text")
-    joined = (
-        pairs.select("url_a", "url_b")
-        .join(texts.select(F.col("url").alias("url_a"), F.col("text").alias("text_a")), "url_a")
-        .join(texts.select(F.col("url").alias("url_b"), F.col("text").alias("text_b")), "url_b")
-        .select("url_a", "url_b", "text_a", "text_b")
+    """Keep pairs sharing at least one exact min_overlap_chars-char substring.
+
+    Returns (url_a, url_b, n_shared_grams); n_shared_grams >= 1 certifies a
+    common substring of length >= min_overlap_chars (each shared dense-gram
+    hash is one aligned exact window).
+    """
+    p = pairs.select("url_a", "url_b")
+    members = (
+        p.select(F.col("url_a").alias("url"))
+        .unionByName(p.select(F.col("url_b").alias("url")))
+        .distinct()
     )
-
-    def measure(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from difflib import SequenceMatcher
-
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            lens = []
-            for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
-                ta = ta or ""
-                tb = tb or ""
-                if min(len(ta), len(tb)) < min_overlap:
-                    lens.append(0)
-                    continue
-                m = SequenceMatcher(None, ta, tb, autojunk=False).find_longest_match(
-                    0, len(ta), 0, len(tb)
-                )
-                lens.append(int(m.size))
-            out = pdf[["url_a", "url_b"]].copy()
-            out["overlap_len"] = pd.array(lens, dtype="int32")
-            yield out[out["overlap_len"] >= min_overlap]
-
-    return joined.mapInPandas(measure, schema=_VERIFY_SCHEMA)
+    docs = pages.join(members, "url", "left_semi")
+    grams = _dense_gram_sets(docs, cfg.min_overlap_chars)
+    a = grams.select(F.col("url").alias("url_a"), F.col("grams").alias("g_a"))
+    b = grams.select(F.col("url").alias("url_b"), F.col("grams").alias("g_b"))
+    return (
+        p.join(a, "url_a")
+        .join(b, "url_b")
+        .select(
+            "url_a",
+            "url_b",
+            F.size(F.array_intersect("g_a", "g_b")).alias("n_shared_grams"),
+        )
+        .where(F.col("n_shared_grams") >= 1)
+    )
