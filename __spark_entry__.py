@@ -178,8 +178,11 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
     )
+    # broadcast the tiny query set and stream the big table (the audit showed
+    # Spark defaulting to broadcasting the right/large side of the crossJoin)
     scored = (
-        queries.crossJoin(emb.select("vec_id", "embedding"))
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(queries))
         .where(F.col("query_id") != F.col("vec_id"))
         .withColumn("cos", dot / (norm(F.col("q")) * norm(F.col("embedding"))))
     )

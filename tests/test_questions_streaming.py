@@ -1,0 +1,132 @@
+"""Question sampling + incremental (streaming) dedup tests."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from webdedup.config import DedupConfig
+from webdedup.metrics import classification_metrics
+from webdedup.normalize import id_to_str, remove_stopwords, strip_suffix, tokens
+from webdedup.questions import hard_questions, label_budget_union, simple_questions
+
+
+def _pairs(spark, n_per_cluster=10, clusters=3):
+    rows = [
+        {"url_a": f"a{c}_{i}", "url_b": f"b{c}_{i}", "cluster": c}
+        for c in range(clusters)
+        for i in range(n_per_cluster)
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_simple_questions_bounded_and_deterministic(spark):
+    pairs = _pairs(spark)
+    got1 = simple_questions(pairs, 4).collect()
+    got2 = simple_questions(pairs.repartition(7), 4).collect()
+    assert len(got1) == 12  # 3 clusters x 4
+    assert sorted((r["url_a"], r["url_b"]) for r in got1) == sorted(
+        (r["url_a"], r["url_b"]) for r in got2
+    )
+    per_cluster = {}
+    for r in got1:
+        per_cluster[r["cluster"]] = per_cluster.get(r["cluster"], 0) + 1
+    assert all(v == 4 for v in per_cluster.values())
+
+
+def test_hard_questions_only_mixed_clusters(spark):
+    pairs = _pairs(spark, n_per_cluster=6, clusters=3)
+    # cluster 0 labels all 0, cluster 1 mixed, cluster 2 all 1
+    label_rows = []
+    for c, ys in [(0, [0, 0, 0]), (1, [0, 1, 0]), (2, [1, 1, 1])]:
+        for i, y in enumerate(ys):
+            label_rows.append({"url_a": f"a{c}_{i}", "url_b": f"b{c}_{i}", "y_true": y})
+    labels = spark.createDataFrame(pd.DataFrame(label_rows))
+    got = hard_questions(pairs, labels, 3).collect()
+    assert len(got) == 3
+    assert all(r["cluster"] == 1 for r in got)
+    union = label_budget_union(simple_questions(pairs, 2), hard_questions(pairs, labels, 3))
+    assert union.count() <= 9
+
+
+def test_id_to_str(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": ["007-42.0", "1.0", "#N/A", "A/B 3", "000"]})
+    )
+    got = [r[0] for r in df.select(id_to_str(F.col("id"))).collect()]
+    assert got[0] == "742"      # strip .0, separators, leading zeros
+    assert got[1] == "1"
+    assert got[2] is None       # NA sentinel
+    assert got[3] == "AB3"
+    assert got[4] == "0"        # keeps a single zero
+    padded = [r[0] for r in df.select(id_to_str(F.col("id"), zfill=5)).collect()]
+    assert padded[0] == "00742"
+
+
+def test_remove_stopwords_and_strip_suffix(spark):
+    df = spark.createDataFrame(pd.DataFrame({"s": ["the quick gmbh"]}))
+    toks = df.select(remove_stopwords(tokens(F.col("s")), ["the", "a"])).first()[0]
+    assert toks == ["quick", "gmbh"]
+    stripped = df.select(strip_suffix(F.col("s"), [" gmbh", " ltd"])).first()[0]
+    assert stripped == "the quick"
+
+
+def test_classification_metrics(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"is_dup": [1, 1, 0, 0, 1], "y_true": [1, 0, 0, 1, 1]})
+    )
+    m = classification_metrics(df)
+    assert m["tp"] == 2 and m["fp"] == 1 and m["fn"] == 1 and m["tn"] == 1
+    assert m["precision"] == pytest.approx(2 / 3)
+    assert m["recall"] == pytest.approx(2 / 3)
+    assert m["balanced_accuracy"] == pytest.approx((2 / 3 + 1 / 2) / 2)
+
+
+def test_incremental_dedup_batches(spark, tmp_path):
+    """launchdedupe semantics: batch 2 records join groups founded by batch 1;
+    unmatched records found their own groups."""
+    from webdedup.streaming import process_batch, read_state
+    from webdedup.synth import generate_pages, pages_to_spark
+
+    cfg = DedupConfig()
+    pages_pd, _, truth_clusters = generate_pages(n_docs=120, seed=5)
+    sdf = pages_to_spark(spark, pages_pd)
+    state_dir = str(tmp_path / "state")
+
+    # split by row parity on url hash (stable, mixes clusters across batches)
+    b1 = sdf.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    b2 = sdf.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+    a1 = process_batch(spark, b1, state_dir, cfg)
+    a1.count()
+    a2 = process_batch(spark, b2, state_dir, cfg)
+    a2.count()
+
+    state = read_state(spark, state_dir)
+    assert state.count() == 120  # every record assigned exactly once
+
+    # exact duplicates split across batches must land in the same group
+    texts = {r["url"]: r["text"] for r in sdf.select("url", "text").collect()}
+    gids = {r["url"]: r["gid"] for r in state.select("url", "gid").collect()}
+    by_text = {}
+    for url, text in texts.items():
+        by_text.setdefault(text, []).append(url)
+    for urls in by_text.values():
+        if len(urls) > 1:
+            assert len({gids[u] for u in urls}) == 1, urls
+
+
+def test_incremental_stream_driver(spark, tmp_path):
+    """The Structured Streaming wrapper: file source + foreachBatch, two
+    parquet files -> two batches, same state semantics."""
+    from webdedup.streaming import read_state, run_incremental
+    from webdedup.synth import generate_pages, pages_to_spark
+
+    cfg = DedupConfig()
+    pages_pd, _, _ = generate_pages(n_docs=60, seed=6)
+    sdf = pages_to_spark(spark, pages_pd)
+    src = tmp_path / "src"
+    sdf.limit(30).coalesce(1).write.mode("append").parquet(str(src))
+    state_dir = str(tmp_path / "state")
+
+    q = run_incremental(spark, str(src), state_dir, cfg)
+    q.awaitTermination(120)
+    assert read_state(spark, state_dir).count() == 30

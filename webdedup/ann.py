@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a training-data pipeline needs:
+  - cosine_topk: brute-force exact top-k — the baseline/oracle, a broadcast
+    nested-loop of a small query set against the corpus, all JVM-side
+    (zip_with/aggregate dot products).
+  - rp_lsh_topk: the scale path — random-hyperplane (SimHash-for-vectors,
+    Charikar 2002) sign signatures, cut into prefix blocks exactly like the
+    text SimHash (pigeonhole guarantee), candidates from block-bucket joins,
+    exact cosine re-ranking on candidates only.  The sign signature is one
+    numpy matmul per Arrow batch (pandas UDF).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, rank, cosine).  Broadcasts the
+    query set; the corpus streams (one scan, no shuffle until the window)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def make_sign_signature_udf(dim: int, n_bits: int = 64, seed: int = 1337):
+    """Random-hyperplane sign signature as one int64 per vector.
+
+    One numpy (batch x dim) @ (dim x n_bits) matmul per Arrow batch."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bits))
+
+    @F.pandas_udf(T.LongType())
+    def sign_sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ planes) > 0  # (batch, n_bits)
+        packed = (bits.astype(np.uint64) << np.arange(n_bits, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.Series(packed.astype(np.int64))
+
+    return sign_sig
+
+
+def _blocks(sig: Column, n_bits: int, n_blocks: int) -> Column:
+    width = n_bits // n_blocks
+    mask = F.lit((1 << width) - 1)
+    return F.array(
+        *[F.shiftrightunsigned(sig, i * width).bitwiseAND(mask) for i in range(n_blocks)]
+    )
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_bits: int = 64,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 1337,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing at least one
+    sign-signature block with the query; exact cosine re-rank on candidates.
+
+    At 100 TB the corpus side is computed once and persisted (the signature
+    table is the 'index'); queries probe it with an equi-join on
+    (block_idx, block_value) — no cross join ever materializes."""
+    sig_udf = make_sign_signature_udf(dim, n_bits, seed)
+
+    def with_blocks(df: DataFrame, prefix: str) -> DataFrame:
+        sigged = df.select(
+            F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_v")
+        ).withColumn("sig", sig_udf(f"{prefix}_v"))
+        return sigged.select(
+            f"{prefix}_id",
+            f"{prefix}_v",
+            F.posexplode(_blocks(F.col("sig"), n_bits, n_blocks)).alias(
+                "block_idx", "block_val"
+            ),
+        )
+
+    c = with_blocks(corpus, "n")
+    q = with_blocks(queries, "q")
+    cands = (
+        q.join(c, ["block_idx", "block_val"])
+        .where(F.col("q_id") != F.col("n_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("neighbor_id"),
+            F.col("q_v").alias("qv"),
+            F.col("n_v").alias("cv"),
+        )
+        .distinct()
+    )
+    scored = cands.withColumn(
+        "cosine", dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

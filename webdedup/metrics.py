@@ -69,6 +69,31 @@ def recall_by_type(predicted: DataFrame, truth_typed: DataFrame) -> DataFrame:
     )
 
 
+def classification_metrics(
+    scored: DataFrame, pred_col: str = "is_dup", label_col: str = "y_true"
+) -> dict:
+    """Precision/recall/f1/accuracy/balanced accuracy on label-intersected
+    pairs (suricate/metrics/metrics.py:4-23 surface)."""
+    agg = scored.agg(
+        F.sum(((F.col(pred_col) == 1) & (F.col(label_col) == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col(pred_col) == 1) & (F.col(label_col) == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col(pred_col) == 0) & (F.col(label_col) == 1)).cast("long")).alias("fn"),
+        F.sum(((F.col(pred_col) == 0) & (F.col(label_col) == 0)).cast("long")).alias("tn"),
+    ).collect()[0]
+    tp, fp, fn, tn = (int(agg[k]) for k in ("tp", "fp", "fn", "tn"))
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    specificity = tn / (tn + fp) if tn + fp else 1.0
+    return {
+        "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+        "precision": precision,
+        "recall": recall,
+        "f1": 2 * precision * recall / (precision + recall) if precision + recall else 0.0,
+        "accuracy": (tp + tn) / (tp + fp + fn + tn) if tp + fp + fn + tn else 1.0,
+        "balanced_accuracy": (recall + specificity) / 2,
+    }
+
+
 def text_invariant_violations(pages_before: DataFrame, pages_after: DataFrame) -> int:
     """Count urls whose extracted text changed between two stages — the
     byte-identical-text-per-url invariant (BASELINE.json input_hint).

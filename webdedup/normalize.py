@@ -53,3 +53,37 @@ def concat_fields(*cols: Column) -> Column:
     """Null-filtered space-join of several columns (concatenate_names)."""
     arr = F.filter(F.array(*[null_canon(c) for c in cols]), lambda x: x.isNotNull())
     return F.array_join(arr, " ")
+
+
+def id_to_str(col: Column, zfill: int | None = None) -> Column:
+    """Id normalization (idtostr, preprocessing.py:6-75): cast to string,
+    strip a trailing '.0' (float-typed ids), remove separator chars
+    ['-','.',' ','/','#'], strip leading zeros, null the NA sentinels,
+    optional zero-pad."""
+    s = null_canon(col.cast("string"))
+    s = F.regexp_replace(s, r"\.0$", "")
+    s = F.translate(s, "-. /#", "")
+    s = F.regexp_replace(s, r"^0+(?=.)", "")
+    s = null_canon(s)
+    if zfill:
+        s = F.lpad(s, zfill, "0")
+    return s
+
+
+def remove_stopwords(toks: Column, stopwords: list[str]) -> Column:
+    """Drop stop words from a token array (rmvstopwords,
+    preprocessing.py:173-205)."""
+    if not stopwords:
+        return toks
+    return F.filter(toks, lambda t: ~t.isin(*stopwords))
+
+
+def strip_suffix(col: Column, suffixes: list[str]) -> Column:
+    """Strip any of the given suffix strings (rmv_end_str/rmv_end_list,
+    preprocessing.py:102-113,215-224)."""
+    out = col
+    for sfx in suffixes:
+        import re as _re
+
+        out = F.regexp_replace(out, _re.escape(sfx) + r"$", "")
+    return F.trim(out)

@@ -1,0 +1,170 @@
+"""Incremental dedup via Structured Streaming foreachBatch.
+
+Maps the reference's `SingleGrouping.launchdedupe` while-loop
+(suricate/grouping.py:47-137): batches of unassigned records are matched
+against the already-gid-assigned reference set; a record with no match
+founds a new group (gid = own id), otherwise it joins the best-matching
+group (the reference majority-votes candidate gids, grouping.py:155-169 —
+here: the minimum matched gid, deterministic under any arrival order of a
+batch).
+
+Spark shape: `readStream -> foreachBatch(process_batch)`; the accumulated
+state (url, gid, signature) lives in a parquet state directory (the
+streaming equivalent of the pipeline's checkpoint tables), so a killed
+stream resumes from the last committed batch — the same resumability story
+as the batch engine.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webdedup.config import DedupConfig
+from webdedup.features import jaccard_arrays
+from webdedup.signatures import compute_signatures
+
+
+def _state_path(state_dir: str) -> Path:
+    return Path(state_dir) / "state"
+
+
+def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    p = _state_path(state_dir)
+    if not (p / "_SUCCESS").exists():
+        return None
+    return spark.read.parquet(str(p))
+
+
+def _match_against(
+    batch_sigs: DataFrame, ref_sigs: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Candidate matches batch->reference via LSH band join, verified by
+    exact shingle Jaccard: (url, gid) for batch urls that match a reference
+    group."""
+    b = batch_sigs.select(
+        "url", "shingles", F.posexplode("bands").alias("key_idx", "key_hash")
+    )
+    r = ref_sigs.select(
+        F.col("url").alias("ref_url"),
+        F.col("gid").alias("ref_gid"),
+        F.col("shingles").alias("ref_shingles"),
+        F.posexplode("bands").alias("key_idx", "key_hash"),
+    )
+    cand = (
+        b.join(r, ["key_idx", "key_hash"])
+        .select("url", "shingles", "ref_gid", "ref_shingles")
+        .distinct()
+    )
+    verified = cand.where(
+        jaccard_arrays(F.col("shingles"), F.col("ref_shingles"))
+        >= cfg.jaccard_threshold
+    )
+    # deterministic stand-in for the reference's majority vote: min gid
+    return verified.groupBy("url").agg(F.min("ref_gid").alias("gid"))
+
+
+def process_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    cfg: DedupConfig,
+) -> DataFrame:
+    """One launchdedupe round: assign every batch row a gid, append state.
+
+    Returns the batch assignment (url, gid)."""
+    from webdedup.candidates import minhash_candidates
+    from webdedup.cluster import connected_components
+
+    sigs = compute_signatures(batch, cfg).persist()
+    state = read_state(spark, state_dir)
+
+    # 1. batch-internal grouping (new records may duplicate each other)
+    internal_pairs, _ = minhash_candidates(sigs, cfg)
+    sh = sigs.select("url", "shingles")
+    verified = (
+        internal_pairs.join(
+            sh.select(F.col("url").alias("url_a"), F.col("shingles").alias("sh_a")),
+            "url_a",
+        )
+        .join(
+            sh.select(F.col("url").alias("url_b"), F.col("shingles").alias("sh_b")),
+            "url_b",
+        )
+        .where(jaccard_arrays(F.col("sh_a"), F.col("sh_b")) >= cfg.jaccard_threshold)
+        .select("url_a", "url_b")
+    )
+    internal = connected_components(verified)
+
+    # 2. match against accumulated reference state
+    if state is not None:
+        matched = _match_against(sigs, state, cfg)
+    else:
+        matched = spark.createDataFrame([], "url string, gid string")
+
+    # 3. assembly: state gid wins; else batch-internal component propagated
+    #    through min matched gid; else own url (founds a new group)
+    assign = (
+        sigs.select("url")
+        .join(matched, "url", "left")
+        .join(internal.withColumnRenamed("gid", "igid"), "url", "left")
+    )
+    # propagate a matched gid to the whole internal component
+    comp_gid = (
+        assign.where(F.col("igid").isNotNull() & F.col("gid").isNotNull())
+        .groupBy("igid")
+        .agg(F.min("gid").alias("cgid"))
+    )
+    assigned = (
+        assign.join(comp_gid, "igid", "left")
+        .withColumn(
+            "gid",
+            F.coalesce(F.col("gid"), F.col("cgid"), F.col("igid"), F.col("url")),
+        )
+        .select("url", "gid")
+    )
+
+    new_state = sigs.select("url", "shingles", "bands").join(assigned, "url")
+    p = _state_path(state_dir)
+    if state is not None:
+        # append-only state table (url is unique per batch stream)
+        new_state.write.mode("append").parquet(str(p))
+    else:
+        new_state.write.mode("overwrite").parquet(str(p))
+    sigs.unpersist()
+    return assigned
+
+
+def run_incremental(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    cfg: DedupConfig | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """Drive a file-source stream through process_batch; returns the query.
+
+    Batch-mode callers can invoke process_batch directly — foreachBatch
+    receives exactly the same DataFrame shape (SURVEY §2.10: resumability
+    comes from the state/checkpoint tables, not streaming operator state).
+    """
+    from webdedup.synth import pages_spark_schema
+
+    cfg = cfg or DedupConfig()
+    stream = (
+        spark.readStream.schema(pages_spark_schema())
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        process_batch(spark, batch_df, state_dir, cfg)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{state_dir}/_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
