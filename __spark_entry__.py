@@ -200,6 +200,79 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic over text (text-analysis op)."""
+    from webdedup.textstats import lang_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling k-gram min-hash document fingerprint (md5 portable variant)."""
+    from webdedup.textstats import rolling_fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        rolling_fingerprint(F.col("text"), k=5, hash_fn="md5").alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (all-pairs at oracle scale; the
+    production path is q_ann_rp_lsh's block-join)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6))
+        .where(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-k (non-SQL: pandas-UDF sign
+    signatures) — the scale path of similarity search."""
+    from webdedup.ann import rp_lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = rp_lsh_topk(emb, queries, k=10, dim=64, n_bits=64, n_blocks=8)
+    return out.withColumn("cosine", F.round("cosine", 4)).orderBy("query_id", "rank")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: magic-byte sniff + stubbed decode/feature-extract
+    over binary payloads (non-SQL: mapInPandas)."""
+    from webdedup.multimodal import extract_features
+
+    docs = _read(spark, sf_dir, "documents")
+    media = _docs_as_pages(docs).select("url", F.col("html").alias("payload"))
+    out = extract_features(media, decode_stub="fake")
+    return out.select(
+        "url", "media_type", F.round(F.element_at("feature", 1), 4).alias("f0")
+    ).orderBy("url")
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style aggregation (SURVEY §2.5 aggregation surface)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -333,7 +406,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "doc_fingerprint": q_doc_fingerprint,
         "token_jaccard_pairs": q_token_jaccard_pairs,
+        "lang_id": q_lang_id,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_rp_lsh": q_ann_rp_lsh,
+        "media_features": q_media_features,
         "pricing_summary": q_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
         "nation_revenue": q_nation_revenue,
@@ -346,7 +424,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from webdedup.textstats import lang_id_sql
+
     stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    _LANG_ID_ORACLE = (
+        f"SELECT doc_id, {lang_id_sql('text')} AS lang_pred "
+        "FROM documents ORDER BY doc_id"
+    )
     return {
         "dedup_exact_groups": """
             SELECT md5(text) AS text_md5,
@@ -404,6 +488,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(len(list_intersect(a.ts, b.ts)) * 1.0 /
                         (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6) >= 0.8
             ORDER BY doc_a, doc_b
+        """,
+        "lang_id": _LANG_ID_ORACLE,
+        "rolling_fingerprint": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 5 THEN
+                     list_min(list_transform(range(0, len(toks) - 4),
+                              i -> md5(array_to_string(toks[i+1:i+5], ' '))))
+                   ELSE md5(array_to_string(toks, ' ')) END AS fingerprint
+            FROM t ORDER BY doc_id
+        """,
+        "embedding_neardup": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) *
+                          sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v) /
+                        (sqrt(list_dot_product(a.v, a.v)) *
+                         sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+            ORDER BY id_a, id_b
         """,
         "ann_cosine_topk": """
             WITH q AS (
@@ -465,7 +578,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) WHERE rn <= 3 ORDER BY lang, rn
         """,
-        # minhash_clusters / simhash_signatures / substring_overlaps:
-        # non-SQL-expressible (pandas-UDF signatures, iterative CC, LCS
-        # verification) -> rows-only checks.
+        # minhash_clusters / simhash_signatures / substring_overlaps /
+        # ann_rp_lsh / media_features: non-SQL-expressible (pandas-UDF
+        # signatures, iterative CC, gram-intersection verification,
+        # mapInPandas decode) -> rows-only checks.
     }

@@ -1,0 +1,162 @@
+"""Similarity search (ann.py) against a numpy oracle, and multimodal binary
+plumbing (multimodal.py): magic sniffing, stubbed decode, frame sampling."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from webdedup.ann import cosine_topk, rp_lsh_topk
+from webdedup.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    media_meta,
+    sniff_media_type,
+)
+
+DIM = 16
+
+
+def _vectors(n: int, seed: int = 7) -> pd.DataFrame:
+    """Clustered vectors: `n` base directions, each with a close perturbation
+    so true nearest neighbors are unambiguous."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, DIM))
+    noisy = base + 0.01 * rng.standard_normal((n, DIM))
+    vecs = np.concatenate([base, noisy]).astype(np.float32)
+    return pd.DataFrame(
+        {"vec_id": list(range(2 * n)), "embedding": [v.tolist() for v in vecs]}
+    )
+
+
+def _exact_oracle(pdf: pd.DataFrame, query_ids: list[int], k: int) -> dict:
+    mat = np.stack([np.asarray(v) for v in pdf["embedding"]])
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    out = {}
+    for q in query_ids:
+        order = [
+            i
+            for i in np.lexsort((np.arange(len(sims)), -sims[q]))
+            if i != q
+        ][:k]
+        out[q] = order
+    return out
+
+
+def test_cosine_topk_matches_numpy_oracle(spark):
+    pdf = _vectors(20)
+    df = spark.createDataFrame(pdf)
+    queries = df.where(F.col("vec_id") < 3)
+    got = cosine_topk(df, queries, k=5).toPandas()
+    oracle = _exact_oracle(pdf, [0, 1, 2], k=5)
+    for q in (0, 1, 2):
+        mine = got[got.query_id == q].sort_values("rank")["neighbor_id"].tolist()
+        # cosine ties can reorder; compare the neighbor SETs and the top hit
+        assert mine[0] == oracle[q][0]
+        assert set(mine) == set(oracle[q])
+
+
+def test_cosine_topk_scores_are_cosines(spark):
+    pdf = _vectors(10)
+    df = spark.createDataFrame(pdf)
+    queries = df.where(F.col("vec_id") == 0)
+    got = cosine_topk(df, queries, k=3).toPandas()
+    mat = np.stack([np.asarray(v) for v in pdf["embedding"]])
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for _, r in got.iterrows():
+        expect = float(normed[0] @ normed[int(r.neighbor_id)])
+        assert abs(r.cosine - expect) < 1e-6
+
+
+def test_rp_lsh_finds_true_near_neighbor(spark):
+    # the perturbed twin of each base vector has cosine ~0.9999 -> tiny
+    # hamming distance -> shares a block (pigeonhole) -> must be retrieved
+    n = 30
+    pdf = _vectors(n)
+    df = spark.createDataFrame(pdf)
+    queries = df.where(F.col("vec_id") < n)  # the base vectors
+    got = rp_lsh_topk(df, queries, k=3, dim=DIM, n_bits=64, n_blocks=8).toPandas()
+    hit = 0
+    for q in range(n):
+        mine = got[got.query_id == q].sort_values("rank")["neighbor_id"].tolist()
+        if mine and mine[0] == q + n:
+            hit += 1
+    assert hit / n >= 0.95  # near-exact recall of the planted twin
+
+
+def test_sniff_media_type(spark):
+    rows = [
+        ("png", b"\x89PNG\r\n\x1a\n" + b"x" * 16),
+        ("jpg", b"\xff\xd8\xff\xe0" + b"x" * 16),
+        ("gif", b"GIF89a" + b"x" * 16),
+        ("pdf", b"%PDF-1.7" + b"x" * 16),
+        ("html", b"<html><body>"),
+        ("wav", b"RIFF\x24\x08\x00\x00WAVE"),
+        ("bin", b"\x00\x01\x02\x03"),
+        ("empty", b""),
+    ]
+    df = spark.createDataFrame(rows, "name string, payload binary")
+    got = {
+        r["name"]: r["mt"]
+        for r in df.select("name", sniff_media_type(F.col("payload")).alias("mt")).collect()
+    }
+    assert got["png"] == "image/png"
+    assert got["jpg"] == "image/jpeg"
+    assert got["gif"] == "image/gif"
+    assert got["pdf"] == "application/pdf"
+    assert got["html"] == "text/html"
+    assert got["wav"] == "riff"
+    assert got["bin"] == "application/octet-stream"
+    assert got["empty"] == "application/octet-stream"
+
+
+def test_media_meta_struct(spark):
+    df = spark.createDataFrame(
+        [("u1", b"%PDF-1.7 content")], "url string, payload binary"
+    )
+    row = df.select(media_meta(F.col("payload")).alias("m")).collect()[0]["m"]
+    assert row["media_type"] == "application/pdf"
+    assert row["n_bytes"] == 16
+    assert len(row["sha256"]) == 64
+
+
+def test_extract_features_fake_is_deterministic(spark):
+    rows = [("u1", b"\x89PNGabc"), ("u2", b"\xff\xd8\xffxyz"), ("u3", b"")]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    a = extract_features(df).toPandas().sort_values("url").reset_index(drop=True)
+    b = (
+        extract_features(df.repartition(3))
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert list(a["url"]) == ["u1", "u2", "u3"]
+    assert all(len(f) == 16 for f in a["feature"])
+    for fa, fb in zip(a["feature"], b["feature"]):
+        assert list(fa) == list(fb)  # partitioning-invariant
+    assert a.loc[0, "media_type"] == "image/png"
+
+
+def test_extract_features_error_stub_raises(spark):
+    df = spark.createDataFrame([("u1", b"data")], "url string, payload binary")
+    with pytest.raises(Exception) as exc:
+        extract_features(df, decode_stub="error").collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+def test_frame_sample_plan_offsets(spark):
+    df = spark.createDataFrame(
+        [("u1", b"x" * 100), ("u2", b""), ("u3", b"y" * 10)],
+        "url string, payload binary",
+    )
+    got = frame_sample_plan(df, every_n_bytes=32).toPandas()
+    u1 = got[got.url == "u1"].sort_values("frame_idx")
+    assert list(u1["offset"]) == [0, 32, 64, 96]
+    assert list(u1["frame_idx"]) == [0, 1, 2, 3]
+    assert (got.url == "u2").sum() == 0  # empty payload -> no frames
+    assert list(got[got.url == "u3"]["offset"]) == [0]

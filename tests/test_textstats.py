@@ -1,0 +1,116 @@
+"""Text-analysis ops: language-ID heuristic, rolling fingerprint, quality."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from webdedup.textstats import (
+    lang_id,
+    quality_features,
+    rolling_fingerprint,
+    ws_tokens,
+)
+
+
+def _df(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
+
+
+def test_lang_id_marker_majority(spark):
+    df = _df(
+        spark,
+        [
+            "the cat and the dog sat in the yard",       # en
+            "der hund und die katze ist nicht da",        # de
+            "le chat et les oiseaux est dans une cage",   # fr
+            "el perro y los gatos es un animal",          # es
+            "xyzzy qwerty plugh",                         # no markers -> und
+            "",                                           # empty -> und
+        ],
+    )
+    got = {r["id"]: r["l"] for r in df.select("id", lang_id(F.col("text")).alias("l")).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "fr"
+    assert got[3] == "es"
+    assert got[4] == "und"
+    assert got[5] == "und"
+
+
+def test_lang_id_tie_breaks_by_order(spark):
+    # 'es' markers {el, es} vs 'fr' markers {est, le}: one marker each ->
+    # tie broken by LANG_ORDER (en, de, es, fr, zh) -> es wins
+    df = _df(spark, ["el est"])
+    got = df.select(lang_id(F.col("text")).alias("l")).collect()[0]["l"]
+    assert got == "es"
+
+
+def test_rolling_fingerprint_insertion_robust(spark):
+    # appending tail text far from the minimal window keeps the fingerprint;
+    # a whole-doc hash would change
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = _df(spark, [base, base + " lambda mu nu xi omicron"])
+    fps = [
+        r["fp"]
+        for r in df.orderBy("id")
+        .select(rolling_fingerprint(F.col("text"), k=5).alias("fp"))
+        .collect()
+    ]
+    # the min window of the longer doc can only be <= the base doc's min
+    assert fps[1] <= fps[0]
+    # and the base min window is still present in the longer doc
+    df2 = _df(spark, [base, "PREFIXWORD " + base])
+    fps2 = [
+        r["fp"]
+        for r in df2.orderBy("id")
+        .select(rolling_fingerprint(F.col("text"), k=5).alias("fp"))
+        .collect()
+    ]
+    assert fps2[1] <= fps2[0]
+
+
+def test_rolling_fingerprint_md5_matches_python(spark):
+    text = "one two three four five six seven"
+    toks = text.split()
+    grams = [" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)]
+    expect = min(hashlib.md5(g.encode()).hexdigest() for g in grams)
+    df = _df(spark, [text])
+    got = df.select(
+        rolling_fingerprint(F.col("text"), k=5, hash_fn="md5").alias("fp")
+    ).collect()[0]["fp"]
+    assert got == expect
+
+
+def test_rolling_fingerprint_short_doc(spark):
+    df = _df(spark, ["just three words"])
+    got = df.select(
+        rolling_fingerprint(F.col("text"), k=5, hash_fn="md5").alias("fp")
+    ).collect()[0]["fp"]
+    assert got == hashlib.md5(b"just three words").hexdigest()
+
+
+def test_quality_features(spark):
+    df = _df(spark, ["the the cat", ""])
+    feats = quality_features(F.col("text"), stopwords=("the",))
+    row = (
+        df.orderBy("id")
+        .select(*[v.alias(k) for k, v in feats.items()])
+        .collect()
+    )
+    r = row[0]
+    assert r["n_tokens"] == 3
+    assert abs(r["uniq_ratio"] - 2 / 3) < 1e-9
+    assert abs(r["stopword_ratio"] - 2 / 3) < 1e-9
+    assert r["n_chars"] == 11
+    assert abs(r["mean_token_len"] - 3.0) < 1e-9
+    empty = row[1]
+    assert empty["n_tokens"] == 0
+    assert empty["stopword_ratio"] == 0.0
+
+
+def test_ws_tokens_empty(spark):
+    df = _df(spark, ["", "   ", "a b"])
+    got = [r["n"] for r in df.orderBy("id").select(F.size(ws_tokens(F.col("text"))).alias("n")).collect()]
+    assert got == [0, 0, 2]

@@ -138,7 +138,7 @@ def rp_lsh_topk(
             F.col("q_v").alias("qv"),
             F.col("n_v").alias("cv"),
         )
-        .distinct()
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.withColumn(
         "cosine", dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv")))
