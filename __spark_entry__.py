@@ -158,6 +158,29 @@ def q_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine pairs via relational sparse dot product (the
+    VectorizerConnector equivalent, suricate/dftransformers/vectorizer.py) —
+    shared-term self-join at oracle scale; production restricts to LSH
+    candidates via webdedup.vectorizer.pair_cosine."""
+    from webdedup.vectorizer import tfidf_weights
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.format_string("doc-%08d", F.col("doc_id")).alias("url"), "text"
+    )
+    w = tfidf_weights(docs)
+    wa = w.select(F.col("url").alias("url_a"), "term", F.col("w").alias("w_a"))
+    wb = w.select(F.col("url").alias("url_b"), "term", F.col("w").alias("w_b"))
+    return (
+        wa.join(wb, "term")
+        .where(F.col("url_a") < F.col("url_b"))
+        .groupBy("url_a", "url_b")
+        .agg(F.round(F.sum(F.col("w_a") * F.col("w_b")), 6).alias("tfidf_cosine"))
+        .where(F.col("tfidf_cosine") >= 0.9)
+        .orderBy("url_a", "url_b")
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k similarity search over embeddings."""
     from pyspark.sql import Window as W
@@ -409,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "rolling_fingerprint": q_rolling_fingerprint,
         "embedding_neardup": q_embedding_neardup,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_rp_lsh": q_ann_rp_lsh,
         "media_features": q_media_features,
@@ -517,6 +541,33 @@ def oracle_sql() -> dict[str, str]:
                         (sqrt(list_dot_product(a.v, a.v)) *
                          sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
             ORDER BY id_a, id_b
+        """,
+        "tfidf_cosine_pairs": """
+            WITH docs AS (
+              SELECT format('doc-{:08d}', doc_id) AS url, text FROM documents
+            ), terms AS (
+              SELECT url, t.term, count(*) AS tf
+              FROM docs, unnest(list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) >= 2)) AS t(term)
+              GROUP BY url, t.term
+            ), df AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM docs),
+            w AS (
+              SELECT url, term,
+                     tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS w_raw
+              FROM terms JOIN df USING (term) CROSS JOIN n
+            ), norms AS (
+              SELECT url, sqrt(sum(w_raw * w_raw)) AS l2 FROM w GROUP BY url
+            ), wn AS (
+              SELECT url, term, w_raw / l2 AS w FROM w JOIN norms USING (url)
+            )
+            SELECT url_a, url_b, tfidf_cosine FROM (
+              SELECT a.url AS url_a, b.url AS url_b,
+                     round(sum(a.w * b.w), 6) AS tfidf_cosine
+              FROM wn a JOIN wn b ON a.term = b.term AND a.url < b.url
+              GROUP BY 1, 2
+            ) WHERE tfidf_cosine >= 0.9 ORDER BY url_a, url_b
         """,
         "ann_cosine_topk": """
             WITH q AS (

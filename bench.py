@@ -28,8 +28,11 @@ HEADLINE = [
     "dedup_exact_groups",
     "substring_overlaps",
     "ann_cosine_topk",
+    "ann_rp_lsh",
     "quality_scores",
+    "lang_id",
     "doc_fingerprint",
+    "media_features",
     "pricing_summary",
     "top_orders_per_customer",
     "nation_revenue",

@@ -1,0 +1,88 @@
+"""TF-IDF relational cosine (vectorizer.py) vs a pure-python oracle with
+sklearn TfidfVectorizer default semantics; haversine sanity."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from webdedup.features import haversine_km
+from webdedup.vectorizer import pair_cosine, tfidf_weights
+
+TEXTS = {
+    "u1": "the quick brown fox jumps over the lazy dog",
+    "u2": "the quick brown fox leaps over a lazy dog",
+    "u3": "completely different words entirely unrelated content",
+    "u4": "the quick brown fox jumps over the lazy dog",  # exact dup of u1
+}
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if len(t) >= 2]
+
+
+def _oracle_cosine(a: str, b: str) -> float:
+    docs = {u: _tokens(t) for u, t in TEXTS.items()}
+    n = len(docs)
+    df = Counter()
+    for toks in docs.values():
+        df.update(set(toks))
+
+    def vec(u):
+        tf = Counter(docs[u])
+        w = {t: c * (math.log((n + 1) / (df[t] + 1)) + 1) for t, c in tf.items()}
+        l2 = math.sqrt(sum(x * x for x in w.values()))
+        return {t: x / l2 for t, x in w.items()}
+
+    va, vb = vec(a), vec(b)
+    return sum(va[t] * vb.get(t, 0.0) for t in va)
+
+
+def test_tfidf_weights_l2_normalized(spark):
+    docs = spark.createDataFrame(list(TEXTS.items()), "url string, text string")
+    norms = (
+        tfidf_weights(docs)
+        .groupBy("url")
+        .agg(F.sum(F.col("w") * F.col("w")).alias("sq"))
+        .collect()
+    )
+    for r in norms:
+        assert abs(r["sq"] - 1.0) < 1e-9
+
+
+def test_pair_cosine_matches_sklearn_semantics(spark):
+    docs = spark.createDataFrame(list(TEXTS.items()), "url string, text string")
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u1", "u3"), ("u1", "u4")], "url_a string, url_b string"
+    )
+    w = tfidf_weights(docs)
+    got = {
+        (r["url_a"], r["url_b"]): r["tfidf_cosine"]
+        for r in pair_cosine(pairs, w).collect()
+    }
+    assert abs(got[("u1", "u2")] - _oracle_cosine("u1", "u2")) < 1e-9
+    assert abs(got[("u1", "u3")] - _oracle_cosine("u1", "u3")) < 1e-9
+    assert abs(got[("u1", "u4")] - 1.0) < 1e-9  # exact dup -> cosine 1
+    assert got[("u1", "u2")] > got[("u1", "u3")]
+
+
+def test_pair_cosine_no_shared_terms_is_zero(spark):
+    docs = spark.createDataFrame(
+        [("a", "alpha beta"), ("b", "gamma delta")], "url string, text string"
+    )
+    pairs = spark.createDataFrame([("a", "b")], "url_a string, url_b string")
+    got = pair_cosine(pairs, tfidf_weights(docs)).collect()[0]
+    assert got["tfidf_cosine"] == 0.0
+
+
+def test_haversine_paris_london(spark):
+    df = spark.createDataFrame(
+        [(48.8566, 2.3522, 51.5074, -0.1278)], "la double, na double, lb double, nb double"
+    )
+    km = df.select(
+        haversine_km(F.col("la"), F.col("na"), F.col("lb"), F.col("nb")).alias("km")
+    ).collect()[0]["km"]
+    assert abs(km - 343.5) < 2.0

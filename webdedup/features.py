@@ -52,6 +52,20 @@ def contains_score(a: Column, b: Column) -> Column:
     )
 
 
+def haversine_km(lat_a: Column, lng_a: Column, lat_b: Column, lng_b: Column) -> Column:
+    """Great-circle distance in km, all native trig — maps the reference's
+    geo comparator (vincenty_score, similarityscores.py:77-93; geodesic vs
+    haversine differs < 0.5%, documented).  Null anywhere -> NULL."""
+    rad = lambda c: F.radians(c)  # noqa: E731
+    dlat = rad(lat_b) - rad(lat_a)
+    dlng = rad(lng_b) - rad(lng_a)
+    h = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(rad(lat_a)) * F.cos(rad(lat_b)) * F.pow(F.sin(dlng / 2), 2)
+    )
+    return F.lit(2 * 6371.0088) * F.asin(F.sqrt(h))
+
+
 def jaccard_arrays(a: Column, b: Column) -> Column:
     """Exact Jaccard of two array columns (token sets or hashed shingles)."""
     inter = F.size(F.array_intersect(a, b))
