@@ -50,6 +50,10 @@ def run_level(cores: int, input_dir: Path) -> dict:
 
 
 def main() -> None:
+    # one-time VM memory prewarm (see BENCH/prewarm.py): without it, cold
+    # guest frames make timings vary 4-10x and unfairly favor the second run
+    subprocess.run([sys.executable, str(HERE / "prewarm.py")], check=True)
+
     input_dir = HERE / "data" / f"pages_{N_DOCS}"
     make_input(input_dir, N_DOCS)
 
@@ -76,12 +80,18 @@ North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
 executors.  Sandbox evidence (no real cluster): the same full dedup pipeline
 (signatures -> LSH candidates -> features -> decisions -> connected
 components) on the identical {N_DOCS}-page synthetic corpus at
-local[{N_SMALL}] vs local[{N_BIG}], one JVM per run.
+local[{N_SMALL}] vs local[{N_BIG}], one JVM per level.
 
-| parallelism | wall (s) | docs/sec |
-|---|---|---|
-| local[{N_SMALL}] | {small["wall_sec"]} | {small["docs_per_sec"]} |
-| local[{N_BIG}] | {big["wall_sec"]} | {big["docs_per_sec"]} |
+Per level the pipeline runs twice in the same JVM (BENCH/run_one.py
+--repeat): the first run re-faults guest frames the hypervisor reclaimed
+(sandbox free-page reporting; a real executor pays this once per lifetime),
+the second is the steady state used for the efficiency ratio.  The VM frame
+pool is prewarmed once before both levels (BENCH/prewarm.py).
+
+| parallelism | cold run (s) | steady run (s) | docs/sec (steady) |
+|---|---|---|---|
+| local[{N_SMALL}] | {small["runs"][0]} | {small["wall_sec"]} | {small["docs_per_sec"]} |
+| local[{N_BIG}] | {big["runs"][0]} | {big["wall_sec"]} | {big["docs_per_sec"]} |
 
 - **scaling efficiency** = (T_{N_SMALL} / T_{N_BIG}) / {N_BIG // N_SMALL} = **{efficiency:.3f}** (target >= 0.8)
 - **deterministic output** under parallelism change: {"YES" if same_output else "NO"}

@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from webdedup.session import get_spark  # noqa: E402
+from webdedup.session import get_spark, warm_python_workers  # noqa: E402
 
 # token_jaccard_pairs is deliberately absent: it is the quadratic
 # brute-force ORACLE used by the correctness gate, not a production path —
@@ -53,7 +53,8 @@ def main() -> None:
     spark = get_spark(app_name="webdedup-bench", cores=cpus)
     qs = entrymod.queries()
 
-    # warm the JVM + parquet footers with a trivial action (not timed)
+    # warm the JVM + python worker pool + parquet footers (not timed)
+    warm_python_workers(spark, cpus)
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
     timings: dict[str, float] = {}

@@ -1,13 +1,13 @@
 """Comparator goldens — reference semantics parity (SURVEY §2.4, §7.3).
 
-The ratio comparators must reproduce fuzzywuzzy's pure-python semantics,
-which are difflib.SequenceMatcher.ratio == 2*M/T (suricate/preutils/
-similarityscores.py:23-54); difflib itself is the oracle here, plus
-hand-computed goldens mirroring the reference's foo fixture assertions
+The ratio comparators must reproduce fuzzywuzzy's ratio = 2*M/T semantics
+(suricate/preutils/similarityscores.py:23-54).  fuzzywuzzy's primary backend
+(python-Levenshtein, its recommended install) computes M as the LCS length;
+the oracle here is therefore a naive LCS DP (difflib, its fallback backend,
+agrees on all these goldens but can undercount M on adversarial strings).
+Plus hand-computed goldens mirroring the reference's foo fixture assertions
 (tests/connectors/test_connectors.py:84: np.nansum(exact)==2).
 """
-
-from difflib import SequenceMatcher
 
 import pandas as pd
 import pytest
@@ -54,18 +54,34 @@ def test_contains_score(spark):
     assert vals == [1.0, 0.0, 0.0]
 
 
-def test_simple_ratio_matches_difflib(spark):
+def _lcs_ratio_oracle(a: str, b: str) -> float:
+    """Naive O(n*m) LCS DP — the independent oracle for 2*LCS/(|a|+|b|)."""
+    if not a or not b:
+        return 0.0
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        cur = [0]
+        for j, cb in enumerate(b):
+            cur.append(max(prev[j] + (ca == cb), prev[j + 1], cur[-1]))
+        prev = cur
+    return 2.0 * prev[-1] / (len(a) + len(b))
+
+
+def test_simple_ratio_matches_lcs_oracle(spark):
     cases = [
         ("hello world", "hello wrld"),
         ("foo", "foo"),
         ("foo", "bar"),
         ("the quick brown fox", "quick brown fox the"),
+        ("kitten", "sitting"),
     ]
     df = spark.createDataFrame(pd.DataFrame(cases, columns=["a", "b"]))
     got = [r[0] for r in df.select(simple_ratio(F.col("a"), F.col("b"))).collect()]
-    want = [SequenceMatcher(None, a, b, autojunk=False).ratio() for a, b in cases]
+    want = [_lcs_ratio_oracle(a, b) for a, b in cases]
     assert got == pytest.approx(want)
-    assert got[1] == 1.0 and got[0] > 0.9
+    # the reference's own golden: ratio('hello world','hello wrld') = 2*10/21
+    assert got[0] == pytest.approx(2 * 10 / 21)
+    assert got[1] == 1.0
 
 
 def test_token_sort_ratio_order_invariant(spark):
@@ -74,8 +90,7 @@ def test_token_sort_ratio_order_invariant(spark):
     )
     got = [r[0] for r in df.select(token_sort_ratio(F.col("a"), F.col("b"))).collect()]
     assert got[0] == 1.0  # same tokens, different order
-    want = SequenceMatcher(None, "a b c", "a c d", autojunk=False).ratio()
-    assert got[1] == pytest.approx(want)
+    assert got[1] == pytest.approx(_lcs_ratio_oracle("a b c", "a c d"))
 
 
 def test_jaccard_arrays(spark):

@@ -22,10 +22,14 @@ from pyspark.sql import functions as F
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
-    """(a, b) undirected -> directed both ways, self-loops dropped."""
+    """(a, b) undirected -> directed both ways, self-loops dropped.
+
+    NO distinct here: duplicate directed edges do not change min-neighbor
+    aggregates or star outputs, and each star op ends in its own dedup —
+    a distinct per symmetrize would be a pure extra shuffle per round."""
     fwd = edges.select(F.col("url_a").alias("u"), F.col("url_b").alias("v"))
     rev = edges.select(F.col("url_b").alias("u"), F.col("url_a").alias("v"))
-    return fwd.unionByName(rev).where(F.col("u") != F.col("v")).distinct()
+    return fwd.unionByName(rev).where(F.col("u") != F.col("v"))
 
 
 def _min_neighbor(e: DataFrame) -> DataFrame:
@@ -34,14 +38,17 @@ def _min_neighbor(e: DataFrame) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """For each u: emit (v, m(u)) for every strictly larger neighbor v."""
+    """For each u: emit (v, m(u)) for every strictly larger neighbor v.
+
+    The groupBy and the join both hash-partition on u, so the exchange under
+    the aggregate is reused for the join side (one shuffle, not two); dedup
+    is deferred to the end of the round (_small_star)."""
     m = _min_neighbor(e)
     return (
         e.where(F.col("v") > F.col("u"))
         .join(m, "u")
         .select(F.col("v").alias("url_a"), F.col("m").alias("url_b"))
         .where(F.col("url_a") != F.col("url_b"))
-        .distinct()
     )
 
 

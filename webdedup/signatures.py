@@ -82,17 +82,49 @@ def _mix64(v: np.ndarray) -> np.ndarray:
     leaving the hash quasi-monotone in x, so one small shingle hash wins the
     min for most permutations and the Jaccard estimate collapses."""
     v = v.astype(np.uint64, copy=True)
-    v ^= v >> np.uint64(30)
-    v *= np.uint64(0xBF58476D1CE4E5B9)
-    v ^= v >> np.uint64(27)
-    v *= np.uint64(0x94D049BB133111EB)
-    v ^= v >> np.uint64(31)
+    _mix64_inplace(v, np.empty_like(v))
     return v
 
 
+def _mix64_inplace(v: np.ndarray, tmp: np.ndarray) -> None:
+    """splitmix64 on v IN PLACE; tmp is same-shape scratch for the shifts."""
+    np.right_shift(v, np.uint64(30), out=tmp)
+    np.bitwise_xor(v, tmp, out=v)
+    np.multiply(v, np.uint64(0xBF58476D1CE4E5B9), out=v)
+    np.right_shift(v, np.uint64(27), out=tmp)
+    np.bitwise_xor(v, tmp, out=v)
+    np.multiply(v, np.uint64(0x94D049BB133111EB), out=v)
+    np.right_shift(v, np.uint64(31), out=tmp)
+    np.bitwise_xor(v, tmp, out=v)
+
+
 # Cap on flattened shingles processed per numpy block: bounds the
-# (num_perm x n_shingles) intermediate at ~256 MB regardless of Arrow batch size.
-_CHUNK_SHINGLES = 1 << 18
+# (num_perm x n_shingles) intermediate regardless of Arrow batch size.
+_CHUNK_SHINGLES = 1 << 16
+
+
+# Reusable per-process scratch buffers.  ENVIRONMENT-MEASURED RATIONALE: on
+# this sandbox's VM, first-touch page faults on fresh malloc'd regions run at
+# ~0.8 ms/page (~5 MB/s!) while zero-page-backed np.zeros allocations and
+# arena-reused memory are normal speed.  Letting numpy allocate the
+# (num_perm x n_shingles) temporaries fresh cost 20-40 s PER WORKER on the
+# first batch (measured); computing into preallocated np.zeros buffers with
+# out= makes the first batch as fast as steady state.  On a normal cluster
+# this is still a win (no large temporaries, no allocator churn).
+_SCRATCH: dict[tuple, np.ndarray] = {}
+
+
+def _scratch(key: str, shape: tuple[int, ...], dtype) -> np.ndarray:
+    """Grow-only scratch buffer; returns a view of exactly `shape`."""
+    k = (key, np.dtype(dtype).str)
+    buf = _SCRATCH.get(k)
+    if buf is None or any(b < s for b, s in zip(buf.shape, shape)):
+        grown = tuple(
+            max(b, s) for b, s in zip(buf.shape if buf is not None else shape, shape)
+        )
+        buf = np.zeros(grown, dtype=dtype)
+        _SCRATCH[k] = buf
+    return buf[tuple(slice(0, s) for s in shape)]
 
 
 def _row_chunks(lengths: np.ndarray, budget: int):
@@ -117,11 +149,17 @@ def minhash_block(shingle_lists, seeds: np.ndarray, num_perm: int) -> np.ndarray
     """
     lengths = np.fromiter((len(s) for s in shingle_lists), dtype=np.int64)
     out = np.zeros((len(lengths), num_perm), dtype=np.int64)
-    if lengths.sum() == 0:
+    total = int(lengths.sum())
+    if total == 0:
         return out
     flat = np.concatenate([np.asarray(s, dtype=np.int64) for s in shingle_lists])
     x = flat.view(np.uint64)
-    hv = _mix64(x[None, :] ^ seeds[:, None])  # (num_perm, total)
+    # fixed-size scratch (see _SCRATCH): xor-broadcast + mix with no fresh
+    # large temporaries
+    hv = _scratch("mh_hv", (num_perm, max(total, _CHUNK_SHINGLES)), np.uint64)[:, :total]
+    tmp = _scratch("mh_tmp", (num_perm, max(total, _CHUNK_SHINGLES)), np.uint64)[:, :total]
+    np.bitwise_xor(x[None, :], seeds[:, None], out=hv)
+    _mix64_inplace(hv, tmp)
     offsets = np.zeros(len(lengths), dtype=np.int64)
     np.cumsum(lengths[:-1], out=offsets[1:])
     # reduceat pitfall: an empty segment returns h[offset] (wrong) — mask
@@ -164,12 +202,15 @@ def simhash_block(shingle_lists, bits: int) -> np.ndarray:
     flat = np.concatenate([np.asarray(s, dtype=np.int64) for s in shingle_lists]).view(
         np.uint64
     )
-    # (total, bits) bit matrix mapped to +-1
-    bitmat = (
-        ((flat[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        * 2
-        - 1
-    )
+    total = flat.shape[0]
+    # (total, bits) bit matrix mapped to +-1, built in reusable scratch (see
+    # _SCRATCH: fresh large temporaries hit this VM's slow first-touch path)
+    u = _scratch("sh_u", (max(total, _CHUNK_SHINGLES), bits), np.uint64)[:total]
+    np.right_shift(flat[:, None], np.arange(bits, dtype=np.uint64), out=u)
+    np.bitwise_and(u, np.uint64(1), out=u)
+    bitmat = _scratch("sh_b", (max(total, _CHUNK_SHINGLES), bits), np.int64)[:total]
+    np.multiply(u.view(np.int64), 2, out=bitmat)
+    np.subtract(bitmat, 1, out=bitmat)
     offsets = np.zeros(len(lengths), dtype=np.int64)
     np.cumsum(lengths[:-1], out=offsets[1:])
     nonzero = lengths > 0
@@ -249,6 +290,15 @@ def compute_signatures(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
         F.size("toks").alias("n_tokens"),
         shingle_hashes_from_tokens(F.col("toks"), cfg.shingle_k).alias("shingles"),
     )
+    # STAGE-SPLIT (measured 10x): feeding the higher-order shingle expression
+    # inline into ArrowEvalPython drops the whole subtree out of codegen into
+    # a pathologically slow interpreted path (74 s vs 6 s for 8k docs at
+    # local[8], first run per JVM).  Persisting the shingle table (memory+
+    # disk, same spill behavior as a shuffle at scale) materializes it with
+    # whole-stage codegen and hands the UDF stage plain attributes.  At
+    # cluster scale this intermediate is the natural signature checkpoint
+    # anyway (see checkpoint.py).
+    df = df.persist()
     df = df.withColumn("minhash", minhash_udf("shingles")).withColumn(
         "simhash", simhash_udf("shingles")
     )

@@ -23,36 +23,94 @@ fully-JVM stages:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from webdedup.candidates import _pairs_from_keys
 from webdedup.config import DedupConfig
+from webdedup.signatures import _mix64
+
+# Polynomial rolling-hash base over UTF-8 bytes; odd -> invertible mod 2^64,
+# so prefix sums can be computed with one vectorized cumsum (see below).
+_B = np.uint64(0x9E3779B97F4A7C15 | 1)
+_BINV = np.uint64(pow(int(_B), -1, 1 << 64))
+
+# grow-only caches of [B^0..B^n] and [Binv^0..Binv^n]
+_POW_CACHE: dict[str, np.ndarray] = {}
+
+
+def _pows(base: np.ndarray, key: str, n: int) -> np.ndarray:
+    cur = _POW_CACHE.get(key)
+    if cur is None or cur.shape[0] < n:
+        size = max(n, 1 << 12)
+        with np.errstate(over="ignore"):
+            cur = np.concatenate(
+                [np.ones(1, dtype=np.uint64),
+                 np.cumprod(np.full(size - 1, base, dtype=np.uint64))]
+            )
+        _POW_CACHE[key] = cur
+    return cur
+
+
+def _window_hashes(data: bytes, g: int, sel: int) -> np.ndarray:
+    """Distinct mixed hashes of every g-byte window whose mixed hash
+    satisfies h % sel == 0 (content-defined selection -> alignment
+    invariant), as int64.  O(n) numpy work via invertible-base prefix sums:
+
+        W(i) = sum_t c[i+t] * B^(g-1-t)
+             = (S[i+g] - S[i]) * B^(i+g-1),   S[k] = sum_{j<k} c[j]*Binv^j
+
+    finished with the splitmix64 mixer for distribution.  Replaces a
+    per-position JVM substring+xxhash64 transform that did O(n*g) char work
+    per document (measured 3-8x of total pipeline time at g=200).
+    """
+    n = len(data)
+    if n < g:
+        return np.empty(0, dtype=np.int64)
+    c = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    binv = _pows(_BINV, "binv", n + 1)[:n]
+    bpow = _pows(_B, "b", n + 1)
+    with np.errstate(over="ignore"):
+        s = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(c * binv, out=s[1:])
+        w = (s[g:] - s[:-g]) * bpow[g - 1 : n]
+    w = _mix64(w)
+    if sel > 1:
+        w = w[w % np.uint64(sel) == 0]
+    return np.unique(w).view(np.int64)
+
+
+def make_gram_hash_udf(g: int, sel: int):
+    """pandas UDF: text -> array<long> of distinct selected g-byte window
+    hashes (empty for null/short docs)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def gram_hashes(text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _window_hashes(("" if t is None else t).encode("utf-8"), g, sel)
+                for t in text
+            ]
+        )
+
+    return gram_hashes
 
 
 def anchor_keys(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Content-defined anchors as (url, key_idx=0, key_hash) rows.
 
-    All JVM-side.  The text column is referenced through a materialized
-    projection so the transform() lambda captures a bound attribute (see
-    signatures.py on the CodegenFallback re-evaluation trap).
+    Anchor = anchor_len-byte window whose rolling hash ≡ 0 (mod
+    anchor_stride) — a Winnowing-style (Schleimer et al., SIGMOD 2003)
+    selection: two docs sharing a long span select the SAME grams inside it,
+    at any offset.  One vectorized pandas UDF per doc partition.
     """
-    alen, stride = cfg.anchor_len, cfg.anchor_stride
-    base = pages.select("url", F.coalesce(F.col("text"), F.lit("")).alias("t"))
-    t = F.col("t")
-    n = F.length(t)
-    grams = F.when(
-        n >= alen,
-        F.transform(
-            F.sequence(F.lit(1), n - alen + 1),
-            lambda i: F.xxhash64(F.substring(t, i, alen)),
-        ),
-    ).otherwise(F.array())
-    selected = F.array_distinct(
-        F.filter(grams, lambda h: F.pmod(h, F.lit(stride)) == 0)
-    )
-    return base.select("url", F.explode(selected).alias("key_hash")).withColumn(
-        "key_idx", F.lit(0)
+    udf = make_gram_hash_udf(cfg.anchor_len, cfg.anchor_stride)
+    return (
+        pages.select("url", F.explode(udf(F.col("text"))).alias("key_hash"))
+        .withColumn("key_idx", F.lit(0))
     )
 
 
@@ -65,23 +123,13 @@ def substring_candidates(
 
 
 def _dense_gram_sets(docs: DataFrame, length: int) -> DataFrame:
-    """(url, grams array<long>): xxhash64 of EVERY length-char gram.
+    """(url, grams array<long>): rolling hash of EVERY length-byte gram.
 
-    O(n * length) JVM work per doc — only ever applied to candidate-pair
-    members, never the full corpus."""
-    base = docs.select("url", F.coalesce(F.col("text"), F.lit("")).alias("t"))
-    t = F.col("t")
-    n = F.length(t)
-    grams = F.when(
-        n >= length,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - length + 1),
-                lambda i: F.xxhash64(F.substring(t, i, length)),
-            )
-        ),
-    ).otherwise(F.array())
-    return base.select("url", grams.alias("grams"))
+    O(n) numpy work per doc (vs O(n*length) for per-position substring
+    hashing) — only ever applied to candidate-pair members, never the full
+    corpus."""
+    udf = make_gram_hash_udf(length, 1)
+    return docs.select("url", udf(F.col("text")).alias("grams"))
 
 
 def verify_overlaps(
