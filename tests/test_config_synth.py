@@ -85,3 +85,28 @@ def test_synth_boilerplate_skew_present():
     pages, _, _ = generate_pages(n_docs=300, seed=42)
     n_boiler = pages["text"].str.startswith("cookie notice").sum()
     assert n_boiler > 30  # skew driver exists
+
+
+def test_generate_pages_spark_deterministic_and_unique(spark):
+    from pyspark.sql import functions as F
+
+    from webdedup.synth import generate_pages_spark
+
+    df = generate_pages_spark(spark, n_docs=2000, seed=11, partitions=8, text_scale=2)
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("url").alias("nu"),
+        F.sum(F.xxhash64("url", "text").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    assert row["n"] == 2000 and row["nu"] == 2000
+    df2 = generate_pages_spark(spark, n_docs=2000, seed=11, partitions=8, text_scale=2)
+    h2 = df2.agg(
+        F.sum(F.xxhash64("url", "text").cast("decimal(38,0)")).alias("h")
+    ).collect()[0]["h"]
+    assert row["h"] == h2  # same params -> byte-identical corpus
+
+
+def test_generate_pages_text_scale():
+    pages1, _, _ = generate_pages(n_docs=200, seed=3, text_scale=1)
+    pages4, _, _ = generate_pages(n_docs=200, seed=3, text_scale=4)
+    assert pages4["text"].str.len().mean() > 3 * pages1["text"].str.len().mean()

@@ -79,20 +79,90 @@ def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _local_contract(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Partition-local union-find contraction: one shuffle + one python pass.
+
+    Edges are hash-partitioned by url_a; within each partition a union-find
+    collapses every chain/star it can see and emits one (member, local_root)
+    edge per non-root member.  Components are preserved exactly (the output
+    edge set connects the same node sets), but intra-partition chains become
+    depth-1 stars, so the star rounds that follow converge in 1-2 rounds on
+    typical dup graphs instead of O(log^2).  Memory per partition is
+    O(nodes in partition) — bounded by choosing enough partitions at scale.
+    """
+    import pandas as pd
+
+    def contract(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["url_a"], pdf["url_b"]):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by MIN id keeps the representative deterministic
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        out_a, out_b = [], []
+        for node in parent:
+            root = find(node)
+            if root != node:
+                out_a.append(root)
+                out_b.append(node)
+        yield pd.DataFrame({"url_a": out_a, "url_b": out_b})
+
+    part = num_partitions or edges.sparkSession.sparkContext.defaultParallelism
+    return edges.repartition(part, "url_a").mapInPandas(
+        contract, schema="url_a string, url_b string"
+    )
+
+
+SINGLE_TASK_EDGE_LIMIT = 10_000_000  # ~1 GB of edge strings in one task
+
+
 def connected_components(
     edges: DataFrame, max_iterations: int = 50
 ) -> DataFrame:
     """edges(url_a, url_b) -> (url, gid) for every node appearing in edges.
 
-    Alternating large-star/small-star until the edge set reaches a fixpoint
-    (checksum-stable).  Each round localCheckpoints to cut lineage — without
-    it the plan doubles per iteration and Catalyst analysis time explodes.
+    Adaptive: a partition-local union-find contraction runs first (one
+    pass).  If the contracted edge set fits one task
+    (SINGLE_TASK_EDGE_LIMIT), a final single-partition union-find finishes
+    exactly — no iterative rounds, which on small/medium graphs are pure
+    scheduler overhead (measured 12 s for 34k edges).  Larger graphs take
+    the alternating large-star/small-star rounds (Kiveris et al., SoCC'14)
+    to a checksum fixpoint; each round localCheckpoints to cut lineage.
+    At 10^12-doc scale the edge set takes the iterative path; the
+    contraction output is one edge per non-root node, so the single-task
+    cutoff is really a bound on component-member count.
     """
     if edges.isEmpty():
         return edges.sparkSession.createDataFrame([], "url string, gid string")
 
-    cur = edges.select("url_a", "url_b").where(F.col("url_a") != F.col("url_b")).distinct()
+    cur = edges.select("url_a", "url_b").where(F.col("url_a") != F.col("url_b"))
+    cur = _local_contract(cur)
     cur = cur.localCheckpoint()
+
+    if cur.count() <= SINGLE_TASK_EDGE_LIMIT:
+        # contracted graph is small: one exact union-find pass, no rounds
+        final = _local_contract(cur, num_partitions=1).localCheckpoint()
+        membership = final.select(
+            F.col("url_b").alias("url"), F.col("url_a").alias("gid")
+        )
+        roots = final.select(F.col("url_a").alias("url"), F.col("url_a").alias("gid"))
+        return membership.unionByName(roots).distinct()
     prev_sig = None
     for _ in range(max_iterations):
         cur = _large_star(_symmetrize(cur))

@@ -47,6 +47,11 @@ class DedupConfig:
     # ---- candidate generation ----
     max_bucket_size: int = 256  # LSH buckets larger than this are capped (logged, not silent)
     salt_buckets: int = 16      # salting fan-out for the two-phase bucket-size aggregation
+    # drop band-collision pairs whose MinHash-estimated Jaccard is below
+    # this (2.7 sigma under nomatch_threshold at num_perm=126; kills the
+    # boilerplate false-candidate tail before the SBS join, recall-neutral
+    # at the jaccard_threshold decision boundary)
+    minhash_prefilter: float = 0.12
 
     # ---- verification / classification thresholds ----
     jaccard_threshold: float = 0.5   # exact (hashed-shingle) Jaccard to call a pair dup

@@ -220,13 +220,20 @@ FEATURE_COLS = [
 
 
 def compute_features(
-    pairs: DataFrame, docs: DataFrame, cfg: DedupConfig
+    pairs: DataFrame, docs: DataFrame, cfg: DedupConfig, ratios_for: str = "all"
 ) -> DataFrame:
     """Candidate pairs -> feature table (url_a, url_b, methods?, f_1..f_k).
 
     ``docs`` must carry (url, text, lang, shingles, minhash, simhash) — i.e.
     pages joined with compute_signatures output.  All nulls imputed to
     navalue_score=0.0 per the reference convention.
+
+    ratios_for: "all" computes the expensive ratio comparators (python UDF)
+    for every pair; "mixed" computes them only for pairs the cheap native
+    features place between the sure/no-match thresholds — the reference's
+    own pruning semantics (PruningPipe scores only mixed pairs with the
+    row-apply comparators, suricate/pipeline/pruningpipe.py:102-107).
+    Excluded pairs carry navalue_score 0.0 in the ratio columns.
     """
     doc_cols = ["text", "lang", "shingles", "minhash", "simhash"]
     # CPU-parallelism guard: candidate-pair rows are tiny (two urls + method
@@ -245,6 +252,24 @@ def compute_features(
     lev_a = F.substring(F.col("text_source"), 1, LEV_TEXT_CAP)
     lev_b = F.substring(F.col("text_target"), 1, LEV_TEXT_CAP)
     carry = [c for c in pairs.columns if c not in ("url_a", "url_b")]
+    if ratios_for == "mixed":
+        # Gate the UDF INPUTS on the cheap triage condition rather than
+        # splitting the plan: python UDFs inside when() are extracted and
+        # run unconditionally, but a NULL input short-circuits the python
+        # body to a skip, so non-mixed pairs cost one null per Arrow batch
+        # instead of an O(len^2/64) LCS.  Mirrors pruningpipe.py:95-107
+        # (sure/no pairs never see the apply comparators).
+        sj = jaccard_arrays(F.col("shingles_source"), F.col("shingles_target"))
+        if "methods" in pairs.columns:
+            has = lambda m: F.array_contains(F.col("methods"), m)  # noqa: E731
+            sure = has("exact") | (sj >= cfg.sure_threshold)
+            nomatch = (sj < cfg.nomatch_threshold) & ~has("substring")
+        else:
+            sure = sj >= cfg.sure_threshold
+            nomatch = sj < cfg.nomatch_threshold
+        mixed = ~(sure | nomatch)
+        lev_a = F.when(mixed, lev_a)
+        lev_b = F.when(mixed, lev_b)
     sbs = sbs.withColumn("_ratios", _both_ratios(lev_a, lev_b))
     feat = sbs.select(
         "url_a",

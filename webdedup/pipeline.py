@@ -76,9 +76,12 @@ def run_dedup(
     docs = pages.select("url", "text", "lang").join(
         signatures.select("url", "shingles", "minhash", "simhash"), "url"
     )
+    # expensive ratio comparators only for triage-mixed pairs — the
+    # reference's pruning semantics (PruningPipe scores only mixed pairs
+    # with the apply comparators, pruningpipe.py:102-107)
     features = staged(
         "features",
-        lambda: compute_features(pairs, docs, cfg),
+        lambda: compute_features(pairs, docs, cfg, ratios_for="mixed"),
         parents=["candidates"],
     )
 

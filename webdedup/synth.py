@@ -77,10 +77,16 @@ def generate_pages(
     seed: int = 42,
     dup_fraction: float = 0.3,
     boiler_fraction: float = 0.25,
+    index_offset: int = 0,
+    text_scale: int = 1,
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     """Return (pages, truth_pairs, truth_clusters) pandas frames.
 
     ``n_docs`` counts total emitted rows (bases + planted duplicates).
+    ``index_offset`` shifts every row index (distinct urls across the
+    partitions of the distributed generator below).  ``text_scale``
+    multiplies the base token-count range (1 -> ~80-token snippets,
+    5 -> ~2.5 KB Common-Crawl-sized pages).
     """
     rng = np.random.default_rng(seed)
 
@@ -90,15 +96,15 @@ def generate_pages(
 
     i = 0
     while i < n_docs:
-        n_tokens = int(rng.integers(30, 120))
+        n_tokens = int(rng.integers(30 * text_scale, 120 * text_scale))
         text = _base_text(rng, n_tokens)
         # boilerplate skew applied at base time so planted exact dups stay
         # byte-identical and variants inherit the boilerplate
         if rng.random() < boiler_fraction:
             text = _BOILER_HEADER + text + _BOILER_FOOTER
         lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
-        members = [i]
-        rows.append({"i": i, "text": text, "lang": lang})
+        members = [i + index_offset]
+        rows.append({"i": i + index_offset, "text": text, "lang": lang})
         i += 1
         if rng.random() < dup_fraction and i < n_docs:
             n_variants = int(rng.integers(1, 4))
@@ -126,11 +132,11 @@ def generate_pages(
                     vtext = f"{pre} {span} {post}"
                 # kind describes the base->variant relation; pairs between two
                 # variants are reachable only transitively
-                dup_types[(members[0], i)] = str(kind)
+                dup_types[(members[0], i + index_offset)] = str(kind)
                 for m in members[1:]:
-                    dup_types[(m, i)] = "transitive"
-                members.append(i)
-                rows.append({"i": i, "text": vtext, "lang": lang})
+                    dup_types[(m, i + index_offset)] = "transitive"
+                members.append(i + index_offset)
+                rows.append({"i": i + index_offset, "text": vtext, "lang": lang})
                 i += 1
         clusters.append(members)
 
@@ -194,3 +200,49 @@ def pages_to_spark(spark, pages: pd.DataFrame, partitions: int | None = None):
     if partitions:
         df = df.repartition(partitions, "url")
     return df
+
+
+def generate_pages_spark(
+    spark,
+    n_docs: int,
+    seed: int = 42,
+    partitions: int = 64,
+    text_scale: int = 1,
+    dup_fraction: float = 0.3,
+    boiler_fraction: float = 0.25,
+):
+    """Distributed corpus generation for bench-scale inputs (pages only).
+
+    Each partition runs the same pure generator over a disjoint index range
+    with a partition-derived seed, so output is deterministic for a given
+    (n_docs, seed, partitions, text_scale) regardless of cluster layout.
+    Duplicate clusters are planted within a partition (planted structure is
+    identical in kind to `generate_pages`; truth tables are not emitted —
+    bench runs check determinism and throughput, recall evidence comes from
+    the small-scale oracle tests)."""
+    per = n_docs // partitions
+    counts = [per + (1 if p < n_docs % partitions else 0) for p in range(partitions)]
+    offsets = [0] * partitions
+    acc = 0
+    for p in range(partitions):
+        offsets[p] = acc
+        acc += counts[p]
+
+    def gen(batches):
+        for pdf in batches:
+            for p in pdf["id"]:
+                p = int(p)
+                pages, _, _ = generate_pages(
+                    n_docs=counts[p],
+                    seed=seed + 7919 * p,
+                    dup_fraction=dup_fraction,
+                    boiler_fraction=boiler_fraction,
+                    index_offset=offsets[p],
+                    text_scale=text_scale,
+                )
+                yield pages
+
+    return (
+        spark.range(partitions, numPartitions=partitions)
+        .mapInPandas(gen, schema=pages_spark_schema())
+    )
