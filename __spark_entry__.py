@@ -104,19 +104,26 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length, token stats, stopword + unique-token ratios."""
+    """Quality scoring: length, token stats, stopword + unique-token ratios.
+    Staged: the token array is materialized once per row (CollapseProject
+    keeps the non-cheap split un-inlined), not re-split per stat."""
     docs = _read(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n_tokens = F.size(toks)
-    n_uniq = F.size(F.array_distinct(toks))
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    toks_c = F.col("__toks")
+    staged = docs.withColumn("__toks", F.split(F.trim(F.col("text")), r"\s+"))
+    staged = staged.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(toks_c).alias("n_tokens"),
+        F.size(F.array_distinct(toks_c)).alias("__uniq"),
+        F.size(F.filter(toks_c, lambda t: t.isin(*_STOPWORDS))).alias("__stop"),
+    )
     return (
-        docs.select(
+        staged.select(
             "doc_id",
-            F.length("text").alias("n_chars_calc"),
-            n_tokens.alias("n_tokens"),
-            F.round(n_uniq / n_tokens, 6).alias("uniq_ratio"),
-            F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
+            "n_chars_calc",
+            "n_tokens",
+            F.round(F.col("__uniq") / F.col("n_tokens"), 6).alias("uniq_ratio"),
+            F.round(F.col("__stop") / F.col("n_tokens"), 6).alias("stopword_ratio"),
         )
         .orderBy("doc_id")
     )
@@ -186,14 +193,6 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = _read(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
-    )
-    dot = F.aggregate(
-        F.zip_with("q", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(
             F.transform(c, lambda x: x.cast("double") * x.cast("double")),
@@ -201,13 +200,25 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
     )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        norm(F.col("embedding")).alias("q_norm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     # broadcast the tiny query set and stream the big table (the audit showed
-    # Spark defaulting to broadcasting the right/large side of the crossJoin)
+    # Spark defaulting to broadcasting the right/large side of the crossJoin).
+    # norms are computed once per vector per side BEFORE the join — inside
+    # the join they re-evaluate per pair (interpreted aggregate, 3x cost).
     scored = (
-        emb.select("vec_id", "embedding")
+        emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("c_norm"))
         .crossJoin(F.broadcast(queries))
         .where(F.col("query_id") != F.col("vec_id"))
-        .withColumn("cos", dot / (norm(F.col("q")) * norm(F.col("embedding"))))
+        .withColumn("cos", dot / (F.col("q_norm") * F.col("c_norm")))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -224,13 +235,16 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language-ID heuristic over text (text-analysis op)."""
-    from webdedup.textstats import lang_id
+    """Marker-word language-ID heuristic over text (text-analysis op).
+    Staged form: one tokenize + one marker count per language per row."""
+    from webdedup.textstats import with_lang_id
 
     docs = _read(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", lang_id(F.col("text")).alias("lang_pred")
-    ).orderBy("doc_id")
+    return (
+        with_lang_id(docs, "text", "lang_pred")
+        .select("doc_id", "lang_pred")
+        .orderBy("doc_id")
+    )
 
 
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,13 +262,6 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (all-pairs at oracle scale; the
     production path is q_ann_rp_lsh's block-join)."""
     emb = _read(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(
             F.transform(c, lambda x: x.cast("double") * x.cast("double")),
@@ -262,10 +269,25 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
     )
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        norm(F.col("embedding")).alias("norm_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        norm(F.col("embedding")).alias("norm_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6))
+        .withColumn("cosine", F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6))
         .where(F.col("cosine") >= 0.4)
         .select("id_a", "id_b", "cosine")
         .orderBy("id_a", "id_b")
@@ -437,12 +459,14 @@ def q_candidate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_id_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Id normalization (idtostr, suricate/preutils/preprocessing.py:6-75):
-    separator strip + leading-zero strip + NA canon over customer phones."""
+    separator strip + leading-zero strip + NA canon over the numeric tail of
+    customer names ('Customer#000000001' -> '#000000001' -> '1')."""
     from webdedup.normalize import id_to_str
 
     cust = _read(spark, sf_dir, "customer")
+    raw_id = F.substring_index(F.col("c_name"), "Customer", -1)
     return cust.select(
-        "c_custkey", id_to_str(F.col("c_phone")).alias("phone_norm")
+        "c_custkey", id_to_str(raw_id).alias("id_norm")
     ).orderBy("c_custkey")
 
 
@@ -714,8 +738,10 @@ def oracle_sql() -> dict[str, str]:
         "id_normalize": r"""
             SELECT c_custkey,
                    regexp_replace(
-                     translate(regexp_replace(c_phone, '\.0$', ''), '-. /#', ''),
-                     '^0+(.)', '\1') AS phone_norm
+                     translate(regexp_replace(split_part(c_name, 'Customer', 2),
+                                              '\.0$', ''),
+                               '-. /#', ''),
+                     '^0+(.)', '\1') AS id_norm
             FROM customer ORDER BY c_custkey
         """,
         "sbs_interleaved": """

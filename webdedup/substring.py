@@ -119,7 +119,12 @@ def substring_candidates(
 ) -> tuple[DataFrame, DataFrame]:
     """(pairs(url_a, url_b, method='substring'), skew_metrics)."""
     keys = anchor_keys(pages, cfg)
-    return _pairs_from_keys(keys, cfg, "substring", max_bucket=cfg.anchor_max_docs)
+    # persist_keys: the anchor scan is a pandas-UDF pass over the full
+    # corpus; without the persist it re-executes once per downstream
+    # consumer (measured as the bulk of a 63s sf0.1 query).
+    return _pairs_from_keys(
+        keys, cfg, "substring", max_bucket=cfg.anchor_max_docs, persist_keys=True
+    )
 
 
 def _dense_gram_sets(docs: DataFrame, length: int) -> DataFrame:
@@ -148,7 +153,13 @@ def verify_overlaps(
         .distinct()
     )
     docs = pages.join(members, "url", "left_semi")
-    grams = _dense_gram_sets(docs, cfg.min_overlap_chars)
+    # consumed on both sides of the pair join below — persist so the dense
+    # rolling-hash UDF runs once per member doc, not twice
+    from pyspark import StorageLevel
+
+    grams = _dense_gram_sets(docs, cfg.min_overlap_chars).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = grams.select(F.col("url").alias("url_a"), F.col("grams").alias("g_a"))
     b = grams.select(F.col("url").alias("url_b"), F.col("grams").alias("g_b"))
     return (
