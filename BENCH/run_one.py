@@ -4,8 +4,8 @@
 Invoked as a subprocess by scaling.py (one JVM per parallelism level).
 
 `--repeat N` (default 2) runs the pipeline N times in the same JVM, clearing
-the Spark cache between runs; `wall_sec` reports the LAST (steady-state)
-run.  Rationale: this sandbox's VM returns freed guest frames to the host
+the Spark cache between runs; `wall_sec` reports the MINIMUM across runs
+(the steady state).  Rationale: this sandbox's VM returns freed guest frames to the host
 (free-page reporting), so the first run of any footprint re-faults cold
 memory at hypervisor speed — a cost a long-running production job on a real
 cluster pays once per executor lifetime, not per job.  The cold run is still

@@ -165,6 +165,37 @@ def q_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster stats (cluster_stats, suricate/explore/base.py:59-78):
+    kbins over the pair score, then per-cluster mean of the row-mean score
+    + labeled match share.  Pair space = all pairs within a language block,
+    labels = jaccard >= 0.9 (deterministic, SQL-replayable)."""
+    from webdedup.triage import cluster_stats, kbins_cluster
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+    d = docs.select("doc_id", "lang", toks.alias("ts"))
+    a = d.select("lang", F.col("doc_id").alias("url_a"), F.col("ts").alias("ts_a"))
+    b = d.select("lang", F.col("doc_id").alias("url_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size(F.array_union("ts_a", "ts_b"))
+    pairs = (
+        a.join(b, "lang")
+        .where(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b", F.round(inter / union, 6).alias("jaccard"))
+    )
+    clustered = kbins_cluster(pairs, 5, cols=["jaccard"])
+    labels = pairs.select(
+        "url_a", "url_b", (F.col("jaccard") >= 0.9).cast("int").alias("y_true")
+    )
+    out = cluster_stats(clustered, labels, cols=["jaccard"])
+    return out.select(
+        "cluster",
+        F.round("avg_score", 6).alias("avg_score"),
+        F.round("pct_match", 6).alias("pct_match"),
+    ).orderBy(F.col("pct_match").desc(), "cluster")
+
+
 def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF cosine pairs via relational sparse dot product (the
     VectorizerConnector equivalent, suricate/dftransformers/vectorizer.py) —
@@ -313,8 +344,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     media = _docs_as_pages(docs).select("url", F.col("html").alias("payload"))
     out = extract_features(media, decode_stub="fake")
+    # cast to double BEFORE rounding: round() on a float32 keeps float32,
+    # whose float64 upcast (0.0010000000474974513) breaks oracle hash parity
     return out.select(
-        "url", "media_type", F.round(F.element_at("feature", 1), 4).alias("f0")
+        "url",
+        "media_type",
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
     ).orderBy("url")
 
 
@@ -415,17 +450,28 @@ def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures + prefix blocks (non-SQL: pandas UDF)."""
-    from webdedup.config import DedupConfig
-    from webdedup.signatures import compute_signatures
+    """SimHash signatures — portable md5 variant (shingle hash = first 8
+    md5 digest bytes) so the DuckDB oracle can recompute the exact 64-bit
+    signature.  Same tokenize/shingle/sign-sum semantics as the production
+    splitmix64 path (make_simhash_udf); pandas-UDF batch execution."""
+    from webdedup.normalize import tokens
+    from webdedup.signatures import (
+        make_portable_simhash_udf,
+        shingle_strings_from_tokens,
+    )
 
-    cfg = DedupConfig()
     docs = _read(spark, sf_dir, "documents")
-    pages = _docs_as_pages(docs)
+    toks_df = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sh = toks_df.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        shingle_strings_from_tokens(F.col("toks"), 2).alias("sh_strs"),
+    ).persist()
+    udf = make_portable_simhash_udf(64)
     return (
-        compute_signatures(pages, cfg)
-        .select("url", "n_tokens", "simhash")
-        .orderBy("url")
+        sh.withColumn("simhash", udf("sh_strs"))
+        .select("doc_id", "n_tokens", "simhash")
+        .orderBy("doc_id")
     )
 
 
@@ -531,13 +577,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id_normalize": q_id_normalize,
         "sbs_interleaved": q_sbs_interleaved,
         "triage_counts": q_triage_counts,
+        "cluster_stats": q_cluster_stats,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from webdedup.normalize import _ACCENTS_DST, _ACCENTS_SRC, _SEP_REGEX
     from webdedup.textstats import lang_id_sql
 
     stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    # the exact tokenizer of webdedup.normalize.tokens(), as DuckDB SQL
+    _TOKS = (
+        "list_filter(regexp_split_to_array(trim(lower(translate(text, "
+        f"'{_ACCENTS_SRC}', '{_ACCENTS_DST}'))), '{_SEP_REGEX}'), x -> x <> '')"
+    )
     _LANG_ID_ORACLE = (
         f"SELECT doc_id, {lang_id_sql('text')} AS lang_pred "
         "FROM documents ORDER BY doc_id"
@@ -585,6 +638,118 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list_distinct(
                         regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        "cluster_stats": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ts
+              FROM documents
+            ), p AS (
+              SELECT round(len(list_intersect(a.ts, b.ts)) * 1.0 /
+                           (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))),
+                           6) AS jaccard
+              FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            ), mm AS (SELECT min(jaccard) AS lo, max(jaccard) AS hi FROM p),
+            c AS (
+              SELECT jaccard,
+                     CASE WHEN hi <= lo THEN 0
+                          ELSE least(greatest(CAST(floor((jaccard - lo) /
+                                     ((hi - lo) / 5.0)) AS INT), 0), 4)
+                     END AS cluster
+              FROM p CROSS JOIN mm
+            )
+            SELECT cluster, round(avg(jaccard), 6) AS avg_score,
+                   round(sum(CASE WHEN jaccard >= 0.9 THEN 1 ELSE 0 END) * 1.0 /
+                         count(*), 6) AS pct_match
+            FROM c GROUP BY cluster ORDER BY pct_match DESC, cluster
+        """,
+        "minhash_clusters": f"""
+            WITH RECURSIVE tk AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_distinct(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i+1]))
+                          ELSE [array_to_string(toks, ' ')] END AS s
+              FROM tk
+            ), p AS (
+              -- brute-force truth: the LSH pipeline's decision predicate is
+              -- exact-text OR shingle-jaccard >= 0.5; blocking recall at this
+              -- scale is 1.0 (verified), so CC over the true edge set matches
+              SELECT a.doc_id AS da, b.doc_id AS db
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+                    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+              UNION
+              SELECT a.doc_id, b.doc_id FROM documents a JOIN documents b
+              ON a.doc_id < b.doc_id AND a.text = b.text
+            ), e AS (
+              SELECT da AS src, db AS dst FROM p UNION SELECT db, da FROM p
+            ), reach(a, b) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+            )
+            SELECT printf('doc-%08d', a) AS url, printf('doc-%08d', min(b)) AS gid
+            FROM reach GROUP BY a ORDER BY url
+        """,
+        "substring_overlaps": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(range(1, length(text) - 118),
+                            i -> substr(text, i, 120)))) AS g
+              FROM documents WHERE length(text) >= 120
+            )
+            SELECT printf('doc-%08d', a.doc_id) AS url_a,
+                   printf('doc-%08d', b.doc_id) AS url_b,
+                   count(*) AS n_shared_grams
+            FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 ORDER BY url_a, url_b
+        """,
+        "simhash_signatures": f"""
+            WITH tk AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), sh AS (
+              SELECT doc_id, len(toks) AS n_tokens,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_distinct(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i+1]))
+                          ELSE [array_to_string(toks, ' ')] END AS shingles
+              FROM tk
+            ), hs AS (
+              SELECT doc_id, n_tokens, unnest(shingles) AS s FROM sh
+            ), hv AS (
+              SELECT doc_id, n_tokens,
+                     ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h FROM hs
+            ), b AS (
+              SELECT doc_id, n_tokens, j,
+                     sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS bsum
+              FROM hv CROSS JOIN (SELECT unnest(range(0, 64)) AS j) bits
+              GROUP BY doc_id, n_tokens, j
+            ), p AS (
+              SELECT doc_id, n_tokens,
+                     sum(CASE WHEN bsum > 0 THEN (1::UBIGINT << j)::HUGEINT
+                              ELSE 0::HUGEINT END) AS u
+              FROM b GROUP BY doc_id, n_tokens
+            )
+            SELECT doc_id, n_tokens,
+                   (CASE WHEN u >= 9223372036854775808
+                         THEN u - 18446744073709551616 ELSE u END)::BIGINT AS simhash
+            FROM p ORDER BY doc_id
+        """,
+        "media_features": """
+            WITH h AS (SELECT doc_id, text, sha256(text) AS hx FROM documents)
+            SELECT printf('doc-%08d', doc_id) AS url,
+                   CASE WHEN substr(text, 1, 4) = 'GIF8' THEN 'image/gif'
+                        WHEN substr(text, 1, 4) = '%PDF' THEN 'application/pdf'
+                        WHEN substr(text, 1, 4) = '<htm' THEN 'text/html'
+                        WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'
+                        ELSE 'application/octet-stream' END AS media_type,
+                   round((('0x' || substr(hx,7,2) || substr(hx,5,2) ||
+                           substr(hx,3,2) || substr(hx,1,2))::UINTEGER % 1000)
+                         / 1000.0, 4) AS f0
+            FROM h ORDER BY url
         """,
         "token_jaccard_pairs": r"""
             WITH t AS (

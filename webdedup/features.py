@@ -207,6 +207,23 @@ def build_sbs(pairs: DataFrame, docs: DataFrame, cols: list[str]) -> DataFrame:
     return pairs.join(src, "url_a").join(tgt, "url_b")
 
 
+def triage_predicates(sj, cfg: DedupConfig, methods=None):
+    """Shared (sure, nomatch) predicates over a NULL-FREE shingle-jaccard
+    column — the single source of truth for the reference's pruning slicing
+    (pruningpipe.py:95-103), used by both the mixed-ratio UDF gate here and
+    triage_rule (triage.py).  ``methods`` is the provenance array column
+    when available (exact pairs are always sure; substring-verified pairs
+    are never no-match)."""
+    if methods is not None:
+        has = lambda m: F.array_contains(methods, m)  # noqa: E731
+        sure = has("exact") | (sj >= cfg.sure_threshold)
+        nomatch = (sj < cfg.nomatch_threshold) & ~has("substring")
+    else:
+        sure = sj >= cfg.sure_threshold
+        nomatch = sj < cfg.nomatch_threshold
+    return sure, nomatch
+
+
 FEATURE_COLS = [
     "minhash_sim",
     "shingle_jaccard",
@@ -259,14 +276,15 @@ def compute_features(
         # body to a skip, so non-mixed pairs cost one null per Arrow batch
         # instead of an O(len^2/64) LCS.  Mirrors pruningpipe.py:95-107
         # (sure/no pairs never see the apply comparators).
-        sj = jaccard_arrays(F.col("shingles_source"), F.col("shingles_target"))
-        if "methods" in pairs.columns:
-            has = lambda m: F.array_contains(F.col("methods"), m)  # noqa: E731
-            sure = has("exact") | (sj >= cfg.sure_threshold)
-            nomatch = (sj < cfg.nomatch_threshold) & ~has("substring")
-        else:
-            sure = sj >= cfg.sure_threshold
-            nomatch = sj < cfg.nomatch_threshold
+        # same coalesced jaccard + predicates as triage_rule (shared helper
+        # prevents gate/decision drift: a null-shingle pair must look
+        # identical to both)
+        sj = F.coalesce(
+            jaccard_arrays(F.col("shingles_source"), F.col("shingles_target")),
+            F.lit(0.0),
+        )
+        methods = F.col("methods") if "methods" in pairs.columns else None
+        sure, nomatch = triage_predicates(sj, cfg, methods)
         mixed = ~(sure | nomatch)
         lev_a = F.when(mixed, lev_a)
         lev_b = F.when(mixed, lev_b)

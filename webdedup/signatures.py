@@ -241,6 +241,54 @@ def make_simhash_udf(cfg: DedupConfig):
     return simhash
 
 
+def shingle_strings_from_tokens(toks: Column, k: int) -> Column:
+    """Distinct k-token shingle STRINGS (same construction as
+    shingle_hashes_from_tokens, without the xxhash64) — for the portable
+    md5-based signature variants whose hash an external engine (DuckDB
+    oracle) can replay."""
+    n = F.size(toks)
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return F.array_distinct(shingles)
+
+
+def make_portable_simhash_udf(bits: int = 64):
+    """SimHash over md5-derived 64-bit shingle hashes (first 8 digest bytes,
+    big-endian == '0x' || substr(md5_hex, 1, 16)) — engine-independent, so a
+    SQL oracle can recompute the exact signature.  Oracle-scale only; the
+    production path is make_simhash_udf (splitmix64, no python-loop md5)."""
+    import hashlib
+
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    @F.pandas_udf(T.LongType())
+    def portable_simhash(shingles: pd.Series) -> pd.Series:
+        out = np.zeros(len(shingles), dtype=np.int64)
+        for i, lst in enumerate(shingles):
+            if lst is None or len(lst) == 0:
+                continue
+            hs = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+                    for s in lst
+                ),
+                dtype=np.uint64,
+                count=len(lst),
+            )
+            bitmat = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            sums = (2 * bitmat - 1).sum(axis=0)
+            packed = int(((sums > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+            out[i] = packed - (1 << 64) if packed >= (1 << 63) else packed
+        return pd.Series(out)
+
+    return portable_simhash
+
+
 # --------------------------------------------------------------------------
 # signature table
 # --------------------------------------------------------------------------

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from webdedup.config import DedupConfig
-from webdedup.features import FEATURE_COLS
+from webdedup.features import FEATURE_COLS, triage_predicates
 
 
 def triage_rule(features: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -29,14 +29,10 @@ def triage_rule(features: DataFrame, cfg: DedupConfig) -> DataFrame:
       no  (0): shingle Jaccard < nomatch_threshold and not substring-verified
       mixed(1): everything between -> decided by jaccard_threshold
     """
-    has = lambda m: F.array_contains(F.col("methods"), m)  # noqa: E731
-    triage = (
-        F.when(has("exact") | (F.col("shingle_jaccard") >= cfg.sure_threshold), 2)
-        .when(
-            (F.col("shingle_jaccard") < cfg.nomatch_threshold) & ~has("substring"), 0
-        )
-        .otherwise(1)
+    sure, nomatch = triage_predicates(
+        F.col("shingle_jaccard"), cfg, F.col("methods")
     )
+    triage = F.when(sure, 2).when(nomatch, 0).otherwise(1)
     df = features.withColumn("triage", triage)
     is_dup = (
         F.when(F.col("triage") == 2, 1)
@@ -93,6 +89,26 @@ def cluster_matches(clustered: DataFrame, labels: DataFrame) -> DataFrame:
             F.sum(F.col("y_true")).alias("n_match"),
         )
         .withColumn("pct_match", F.col("n_match") / F.col("n_labeled"))
+    )
+
+
+def cluster_stats(
+    clustered: DataFrame, labels: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Per-cluster stats (explore/base.py:59-78): mean of the row-mean
+    feature score over ALL pairs in the cluster, plus the labeled match
+    share (pct_match) over the label-intersected pairs only; sorted by
+    pct_match desc like the reference pivot.  One groupBy each — the
+    avg_score agg never touches the (smaller) label table."""
+    cols = cols or FEATURE_COLS
+    expr = None
+    for c in cols:
+        expr = F.col(c) if expr is None else expr + F.col(c)
+    per = clustered.withColumn("avg_score", expr / F.lit(float(len(cols))))
+    base = per.groupBy("cluster").agg(F.avg("avg_score").alias("avg_score"))
+    pct = cluster_matches(clustered, labels).select("cluster", "pct_match")
+    return base.join(pct, "cluster", "left").orderBy(
+        F.col("pct_match").desc_nulls_last(), "cluster"
     )
 
 
