@@ -63,8 +63,10 @@ def run_level(cores: int, input_dir: Path) -> dict:
         ],
         capture_output=True,
         text=True,
-        check=True,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit(f"run_one --cores {cores} failed rc={out.returncode}")
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
 

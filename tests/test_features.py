@@ -133,3 +133,47 @@ def test_build_sbs_suffixing(spark):
     row = build_sbs(pairs, docs, ["text", "lang"]).first()
     assert row["text_source"] == "t1" and row["text_target"] == "t2"
     assert row["lang_source"] == "en" and row["lang_target"] == "de"
+
+
+def test_lower_ascii_nfkd_udf(spark):
+    """NFKD fold parity with the reference lowerascii
+    (preprocessing.py:78-99): ligatures + non-latin-1 diacritics that the
+    latin-1 translate table cannot fold."""
+    import pandas as pd
+
+    from webdedup.normalize import make_lower_ascii_nfkd_udf
+
+    udf = make_lower_ascii_nfkd_udf()
+    df = spark.createDataFrame(
+        pd.DataFrame({"s": ["ﬁne Œuvre", "Škoda", "Ångström", "café", "#", None]})
+    )
+    got = [r[0] for r in df.select(udf(F.col("s"))).collect()]
+    assert got == ["fine uvre", "skoda", "angstrom", "cafe", None, None]
+
+
+def test_explain_scores_gating(spark):
+    """ES-explain equivalent: per-method score present iff the method
+    retrieved the pair (esconnector.py:237-294)."""
+    import pandas as pd
+
+    from webdedup.features import explain_scores
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url_a": ["a", "c"],
+                "url_b": ["b", "d"],
+                "methods": [["exact", "minhash"], ["substring"]],
+                "minhash_sim": [0.9, 0.2],
+                "simhash_sim": [0.8, 0.4],
+                "contains": [1.0, 1.0],
+            }
+        )
+    )
+    rows = {(r["url_a"], r["url_b"]): r for r in explain_scores(df).collect()}
+    r1 = rows[("a", "b")]
+    assert r1["exact_score"] == 1.0 and r1["minhash_score"] == 0.9
+    assert r1["simhash_score"] is None and r1["substring_score"] is None
+    r2 = rows[("c", "d")]
+    assert r2["substring_score"] == 1.0 and r2["exact_score"] is None
+    assert r2["minhash_score"] is None

@@ -105,3 +105,43 @@ def test_checkpoint_resume(spark, corpus, cfg, tmp_path):
     )
     ev3 = [(e["stage"], e["action"]) for e in out3["_checkpointer"].events]
     assert all(a == "computed" for _, a in ev3)
+
+
+def test_ml_decision_path_recall(spark, corpus, cfg):
+    """The reference flagship's learned path (pruningpipe.py:59-135 +
+    explore/explorer.py:8-172): question-loop label budget -> GBT ->
+    assembly.  Must reach the same >= 0.99 recall as the rule path on the
+    planted truth, with labels drawn ONLY from the question budget."""
+    out = run_dedup(
+        spark,
+        corpus["pages"],
+        cfg,
+        decision="ml",
+        truth_pairs=corpus["truth_pairs"].select("url_a", "url_b"),
+        n_questions=25,
+    )
+    pred = pairs_from_clusters(out["clusters"])
+    m = pair_metrics(pred, corpus["truth_pairs"].select("url_a", "url_b"))
+    assert m["recall"] >= 0.99, m
+    assert m["precision"] >= 0.90, m
+
+
+def test_ml_assembly_semantics(spark, corpus, cfg):
+    """PruningPipe assembly oracle: in the decided table, every triage-0
+    pair is 0, every triage-2 pair is 1, and mixed pairs equal the
+    classifier prediction (pruningpipe.py:128-135)."""
+    out = run_dedup(
+        spark,
+        corpus["pages"],
+        cfg,
+        decision="ml",
+        truth_pairs=corpus["truth_pairs"].select("url_a", "url_b"),
+        n_questions=25,
+    )
+    d = out["decisions"]
+    assert d.where((F.col("triage") == 0) & (F.col("is_dup") != 0)).count() == 0
+    assert d.where((F.col("triage") == 2) & (F.col("is_dup") != 1)).count() == 0
+    assert (
+        d.where((F.col("triage") == 1) & (F.col("is_dup") != F.col("y_pred"))).count()
+        == 0
+    )

@@ -86,3 +86,72 @@ def test_haversine_paris_london(spark):
         haversine_km(F.col("la"), F.col("na"), F.col("lb"), F.col("nb")).alias("km")
     ).collect()[0]["km"]
     assert abs(km - 343.5) < 2.0
+
+
+# ---------------------------------------------------------------------------
+# addvocab refit semantics (suricate/dftransformers/vectorizer.py:95-148)
+# ---------------------------------------------------------------------------
+
+CORPUS_A = {"a1": "alpha beta gamma", "a2": "alpha beta"}
+CORPUS_B = {"b1": "alpha delta", "b2": "delta epsilon epsilon"}
+
+
+def _stats_dict(stats_df):
+    rows = stats_df.collect()
+    n = rows[0]["n_docs"] if rows else 0
+    return {r["term"]: r["df"] for r in rows}, n
+
+
+def _mk(spark, texts):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"url": list(texts), "text": list(texts.values())})
+    )
+
+
+def test_addvocab_replace_and_keep(spark):
+    from webdedup.vectorizer import fit_term_stats, refit_term_stats
+
+    a = _mk(spark, CORPUS_A)
+    b = _mk(spark, CORPUS_B)
+    prior = fit_term_stats(a)
+    kept = refit_term_stats(b, prior=prior, addvocab="keep")
+    d, n = _stats_dict(kept)
+    assert d == {"alpha": 2, "beta": 2, "gamma": 1} and n == 2  # untouched
+
+    repl = refit_term_stats(b, prior=prior, addvocab="replace")
+    d, n = _stats_dict(repl)
+    assert d == {"alpha": 1, "delta": 2, "epsilon": 1} and n == 2
+
+
+def test_addvocab_add_merges_counts(spark):
+    from webdedup.vectorizer import fit_term_stats, refit_term_stats
+
+    a = _mk(spark, CORPUS_A)
+    b = _mk(spark, CORPUS_B)
+    merged = refit_term_stats(b, prior=fit_term_stats(a), addvocab="add")
+    d, n = _stats_dict(merged)
+    # == fitting on the concatenated corpus
+    assert n == 4
+    assert d == {"alpha": 3, "beta": 2, "gamma": 1, "delta": 2, "epsilon": 1}
+
+
+def test_fixed_vocab_transform_drops_oov(spark):
+    """tfidf_weights with a prior snapshot == sklearn transform with the
+    fitted (old) vocabulary: idf from the snapshot, OOV terms dropped."""
+    import math
+
+    from webdedup.vectorizer import fit_term_stats, tfidf_weights
+
+    a = _mk(spark, CORPUS_A)
+    b = _mk(spark, CORPUS_B)
+    w = tfidf_weights(b, term_stats=fit_term_stats(a)).collect()
+    by_doc = {}
+    for r in w:
+        by_doc.setdefault(r["url"], {})[r["term"]] = r["w"]
+    # b2 has no in-vocab term at all -> absent; b1 keeps only 'alpha'
+    assert "b2" not in by_doc
+    assert set(by_doc["b1"]) == {"alpha"}
+    # single in-vocab term -> L2 norm makes it exactly 1.0
+    assert math.isclose(by_doc["b1"]["alpha"], 1.0, rel_tol=1e-12)

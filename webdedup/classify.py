@@ -91,28 +91,67 @@ def assemble_decisions(triaged_pred: DataFrame) -> DataFrame:
     )
 
 
+def questions_label_budget(
+    pairs: DataFrame,
+    truth_pairs: DataFrame,
+    cfg: DedupConfig,
+    n_questions: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """The reference's Explorer ask-loop as the label budget
+    (suricate/explore/explorer.py:8-172, tutorial/main/
+    dedupe_pruning_pipeline.py:52-88):
+
+      1. kbins-cluster the pair scores (Explorer.fit)
+      2. SimpleQuestions: sample every cluster -> the 'human' (here: the
+         planted truth) labels them
+      3. cluster classes from those labels (ClusterClassifier.fit)
+      4. HardQuestions: sample only the *mixed* clusters
+      5. label budget = union of both question rounds
+
+    Returns distinct (url_a, url_b) — the pairs whose labels the trainer
+    may use.  Everything is one Spark DAG; the only driver action is the
+    kbins min/max 1-row agg.
+    """
+    from webdedup.questions import (
+        hard_questions,
+        label_budget_union,
+        simple_questions,
+    )
+    from webdedup.triage import kbins_cluster
+
+    clustered = kbins_cluster(pairs, cfg.triage_bins)
+    simple = simple_questions(clustered, n_questions, seed=seed)
+    simple_labeled = label_candidates(simple, truth_pairs).select(
+        "url_a", "url_b", "y_true"
+    )
+    hard = hard_questions(clustered, simple_labeled, n_questions, seed=seed)
+    return label_budget_union(simple, hard)
+
+
 def run_ml_decision(
     features: DataFrame,
     truth_pairs: DataFrame,
     cfg: DedupConfig,
-    label_fraction: float = 0.5,
-    seed: int = 11,
+    n_questions: int = 20,
+    seed: int = 42,
 ) -> DataFrame:
-    """Full learned decision path: rule triage -> train GBT on a seeded
-    sample of labeled mixed pairs -> predict the rest -> assemble.
+    """Full learned decision path, matching the reference flagship
+    (suricate/pipeline/pruningpipe.py:59-135 + explore/explorer.py:8-172):
+    rule triage -> question-loop label budget -> train GBT on the budgeted
+    labels only -> predict every pair -> PruningPipe assembly (neg->0,
+    sure->1, mixed->prediction).
 
-    ``label_fraction`` plays the role of the reference's active-learning
-    label budget (the Explorer ask_simple/ask_hard loop, SURVEY §3.3 — here
-    labels come from planted truth, so the loop is a deterministic sample).
-    """
+    Labels outside the question budget are NEVER seen by the trainer — the
+    budget is the active-learning interface; the planted truth plays the
+    human labeler (SURVEY §3.3)."""
     from webdedup.triage import triage_rule
 
     triaged = triage_rule(features, cfg)
-    labeled = label_candidates(triaged, truth_pairs)
-    mixed = labeled.where(F.col("triage") == 1)
-    train = mixed.where(
-        F.pmod(F.xxhash64("url_a", "url_b"), F.lit(1000)) < int(label_fraction * 1000)
+    budget = questions_label_budget(triaged, truth_pairs, cfg, n_questions, seed)
+    train = label_candidates(
+        triaged.join(budget, ["url_a", "url_b"], "left_semi"), truth_pairs
     )
     model = fit_classifier(train)
-    pred = predict_pairs(model, labeled)
+    pred = predict_pairs(model, triaged)
     return assemble_decisions(pred)

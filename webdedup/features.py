@@ -207,6 +207,30 @@ def build_sbs(pairs: DataFrame, docs: DataFrame, cols: list[str]) -> DataFrame:
     return pairs.join(src, "url_a").join(tgt, "url_b")
 
 
+def explain_scores(features: DataFrame) -> DataFrame:
+    """Per-method score breakdown — the ES 'explain' equivalent
+    (suricate/dbconnectors/esconnector.py:237-294, which drills the per-field
+    weight out of the ES explanation JSON).  One column per retrieval
+    method, on that method's own similarity scale, NULL when the method did
+    not retrieve the pair:
+
+      exact     -> 1.0 (hash-identical text)
+      minhash   -> the MinHash-estimated jaccard (minhash_sim)
+      simhash   -> the simhash bit-agreement similarity (simhash_sim)
+      substring -> the containment score (contains)
+    """
+    has = lambda m: F.array_contains(F.col("methods"), m)  # noqa: E731
+    return features.select(
+        "url_a",
+        "url_b",
+        "methods",
+        F.when(has("exact"), F.lit(1.0)).alias("exact_score"),
+        F.when(has("minhash"), F.col("minhash_sim")).alias("minhash_score"),
+        F.when(has("simhash"), F.col("simhash_sim")).alias("simhash_score"),
+        F.when(has("substring"), F.col("contains")).alias("substring_score"),
+    )
+
+
 def triage_predicates(sj, cfg: DedupConfig, methods=None):
     """Shared (sure, nomatch) predicates over a NULL-FREE shingle-jaccard
     column — the single source of truth for the reference's pruning slicing

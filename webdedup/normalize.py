@@ -39,6 +39,37 @@ def lower_ascii(col: Column) -> Column:
     return F.lower(F.translate(c, _ACCENTS_SRC, _ACCENTS_DST))
 
 
+def make_lower_ascii_nfkd_udf(lower: bool = True):
+    """Exact NFKD fold of the reference's lowerascii
+    (suricate/preutils/preprocessing.py:78-99): unicodedata NFKD ->
+    ASCII-ignore -> lower, NA sentinels -> None.  Vectorized pandas UDF
+    (pd.Series.str.normalize) — covers ligatures and non-latin-1
+    diacritics the JVM translate table (lower_ascii) cannot; use this
+    variant when the corpus charset goes beyond latin-1."""
+    import pandas as pd  # noqa: F401  (pandas ships with pyspark workers)
+    from pyspark.sql import functions as _F
+    from pyspark.sql import types as _T
+
+    from webdedup.config import NAVALUES as _NA
+
+    na = set(_NA)
+
+    @_F.pandas_udf(_T.StringType())
+    def lower_ascii_nfkd(s):
+        out = s.astype("string")
+        st = out.str.strip()
+        cond = (st.isin(na) | (st == "")).fillna(False)
+        out = out.mask(cond)
+        out = (
+            out.str.normalize("NFKD")
+            .str.encode("ascii", errors="ignore")
+            .str.decode("ascii")
+        )
+        return (out.str.lower() if lower else out).astype(object)
+
+    return lower_ascii_nfkd
+
+
 def tokens(col: Column) -> Column:
     """Normalized token array: lower_ascii -> split on separators -> drop empties."""
     toks = F.split(F.trim(lower_ascii(col)), _SEP_REGEX)

@@ -35,26 +35,53 @@ def run_dedup(
     checkpoint_dir: str | None = None,
     with_substring: bool = True,
     with_golden: bool = True,
+    decision: str = "rule",
+    truth_pairs: DataFrame | None = None,
+    n_questions: int = 20,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; returns every intermediate as a DataFrame.
 
     pages: (url, warc_ts?, html?, text, lang?) — url unique non-null.
+
+    decision: 'rule' (default — the FunctionClassifier-style triage rule)
+    or 'ml' (the reference flagship's learned path: question-loop label
+    budget from ``truth_pairs`` -> GBT -> PruningPipe assembly; requires
+    ``truth_pairs`` with (url_a, url_b) of known matches).
     """
+    if decision not in ("rule", "ml"):
+        raise ValueError("decision must be 'rule' or 'ml'")
+    if decision == "ml" and truth_pairs is None:
+        raise ValueError("decision='ml' requires truth_pairs (the labeler)")
     cfg = cfg or DedupConfig()
     ckpt = (
         Checkpointer(spark, checkpoint_dir, cfg) if checkpoint_dir else None
     )
     fp = input_fingerprint(pages, ["url"]) if ckpt else ""
 
-    def staged(name, fn, parents=None, **kw):
+    def staged(name, fn, parents=None, extra="", **kw):
         if ckpt:
-            return ckpt.stage(name, fn, parents=parents or [], input_fingerprint=fp, **kw)
+            return ckpt.stage(
+                name, fn, parents=parents or [], input_fingerprint=fp + extra, **kw
+            )
         # no checkpoint dir: persist in memory/disk — each stage feeds several
         # consumers (e.g. signatures -> minhash + simhash candidate sources)
         return fn().persist()
 
+    # Checkpoint tables are hash-partitioned by url (Iceberg-shaped layout,
+    # SURVEY §4.2): resume and downstream scans read a bounded, pruned file
+    # set instead of one flat directory; the `part` column is dropped after
+    # the stage so downstream schemas stay unchanged.
+    _PART_N = 16
+
+    def _with_part(df: DataFrame, col: str) -> DataFrame:
+        return df.withColumn("part", F.pmod(F.xxhash64(col), F.lit(_PART_N)))
+
     # -- 1. signatures -------------------------------------------------------
-    signatures = staged("signatures", lambda: compute_signatures(pages, cfg))
+    signatures = staged(
+        "signatures",
+        lambda: _with_part(compute_signatures(pages, cfg), "url"),
+        partition_by=["part"] if ckpt else None,
+    ).drop("part")
 
     # -- 2. candidates (four sources, provenance-tagged) ---------------------
     def build_candidates() -> DataFrame:
@@ -70,7 +97,12 @@ def run_dedup(
             )
         return cand.union_candidates(*sources)
 
-    pairs = staged("candidates", build_candidates, parents=["signatures"])
+    pairs = staged(
+        "candidates",
+        lambda: _with_part(build_candidates(), "url_a"),
+        parents=["signatures"],
+        partition_by=["part"] if ckpt else None,
+    ).drop("part")
 
     # -- 3. features ----------------------------------------------------------
     docs = pages.select("url", "text", "lang").join(
@@ -85,12 +117,26 @@ def run_dedup(
         parents=["candidates"],
     )
 
-    # -- 4. decision (rule triage; ML path in classify.py) --------------------
-    decided = staged(
-        "decisions",
-        lambda: triage_rule(features, cfg),
-        parents=["features"],
-    )
+    # -- 4. decision: rule triage, or the learned question-loop path ---------
+    if decision == "ml":
+        from webdedup.classify import run_ml_decision
+
+        decided = staged(
+            "decisions",
+            lambda: run_ml_decision(
+                features, truth_pairs, cfg, n_questions=n_questions
+            ),
+            parents=["features"],
+            # decision mode + budget are part of the stage identity — a
+            # rule-decisions checkpoint must never be resumed as ml output
+            extra=f":decision=ml:q={n_questions}",
+        )
+    else:
+        decided = staged(
+            "decisions",
+            lambda: triage_rule(features, cfg),
+            parents=["features"],
+        )
     matches = decided.where(F.col("is_dup") == 1)
 
     # -- 5. connected components -> gid --------------------------------------

@@ -114,10 +114,28 @@ _CHUNK_SHINGLES = 1 << 16
 _SCRATCH: dict[tuple, np.ndarray] = {}
 
 
+# A buffer whose capacity exceeds the request by this factor (and is big
+# enough for the shrink to matter) is reallocated: one pathological row whose
+# shingle count row-chunking cannot split would otherwise pin two
+# num_perm*total*8-byte buffers per python worker for the process lifetime.
+_SCRATCH_SHRINK_FACTOR = 4
+_SCRATCH_SHRINK_MIN_BYTES = 64 << 20
+
+
 def _scratch(key: str, shape: tuple[int, ...], dtype) -> np.ndarray:
-    """Grow-only scratch buffer; returns a view of exactly `shape`."""
+    """Reusable scratch buffer; returns a view of exactly `shape`.
+
+    Grows to fit; shrinks back when capacity is >=4x the request and the
+    buffer is large (>=64 MB) — steady-state behavior is still allocation-
+    free because chunked requests hover near _CHUNK_SHINGLES."""
     k = (key, np.dtype(dtype).str)
     buf = _SCRATCH.get(k)
+    if buf is not None:
+        oversized = buf.nbytes >= _SCRATCH_SHRINK_MIN_BYTES and all(
+            b >= s * _SCRATCH_SHRINK_FACTOR for b, s in zip(buf.shape, shape)
+        )
+        if oversized:
+            buf = None
     if buf is None or any(b < s for b, s in zip(buf.shape, shape)):
         grown = tuple(
             max(b, s) for b, s in zip(buf.shape if buf is not None else shape, shape)

@@ -40,23 +40,87 @@ def _terms(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def tfidf_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def fit_term_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The vectorizer's fitted state as a snapshot table: (term, df, n_docs)
+    with n_docs replicated per row (parquet/Iceberg-friendly — one table IS
+    the whole fit, reusable across runs via a checkpoint stage)."""
+    terms = _terms(docs, text_col)
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    return (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+    )
+
+
+def refit_term_stats(
+    docs: DataFrame,
+    prior: DataFrame | None = None,
+    addvocab: str = "replace",
+    text_col: str = "text",
+) -> DataFrame:
+    """The reference's addvocab refit semantics
+    (suricate/dftransformers/vectorizer.py:95-148, where _vocab is the
+    accumulated fit corpus):
+
+      - 'replace': fit stats from ``docs`` only
+      - 'keep':    reuse ``prior`` unchanged (no refit)
+      - 'add':     fit on the concatenated corpus — per-term df counts and
+                   n_docs ADD across the old snapshot and the new corpus
+                   (a full-outer merge; never re-reads the old corpus)
+    """
+    if addvocab not in ("add", "keep", "replace"):
+        raise ValueError("addvocab must be 'add', 'keep' or 'replace'")
+    if addvocab == "keep":
+        if prior is None:
+            raise ValueError("addvocab='keep' requires a prior snapshot")
+        return prior
+    new = fit_term_stats(docs, text_col)
+    if addvocab == "replace" or prior is None:
+        return new
+    o = prior.select("term", F.col("df").alias("df_o"), F.col("n_docs").alias("n_o"))
+    n = new.select("term", F.col("df").alias("df_n"), F.col("n_docs").alias("n_n"))
+    totals = (
+        prior.select(F.max("n_docs").alias("n_o"))
+        .crossJoin(new.select(F.max("n_docs").alias("n_n")))
+        .select((F.col("n_o") + F.col("n_n")).alias("n_docs"))
+    )
+    return (
+        o.join(n, "term", "full_outer")
+        .select(
+            "term",
+            (F.coalesce("df_o", F.lit(0)) + F.coalesce("df_n", F.lit(0))).alias("df"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+
+
+def tfidf_weights(
+    docs: DataFrame,
+    text_col: str = "text",
+    term_stats: DataFrame | None = None,
+    broadcast_stats: bool = True,
+) -> DataFrame:
     """L2-normalized tf-idf term weights: (url, term, w).
 
     One explode + three hash aggregations; the document count is folded in
     via a 1-row broadcast join (no driver round-trip in the plan).
-    """
+
+    term_stats: optional fitted snapshot from fit_term_stats/refit_term_stats
+    — idf comes from the snapshot and out-of-vocabulary terms are dropped
+    (sklearn transform semantics with a fixed vocabulary); without it the
+    stats are fit on ``docs`` itself.
+
+    broadcast_stats: the stats table is term-dictionary-sized; at web scale
+    (100s of millions of distinct terms) pass False to let the term join
+    shuffle instead of broadcasting."""
     terms = _terms(docs, text_col)
-    n_docs = docs.select(F.count("*").alias("n_docs"))
-    df_t = terms.groupBy("term").agg(F.count("*").alias("df"))
-    weighted = (
-        terms.join(F.broadcast(df_t), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "w_raw",
-            F.col("tf")
-            * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
-        )
+    if term_stats is None:
+        term_stats = fit_term_stats(docs, text_col)
+    stats = F.broadcast(term_stats) if broadcast_stats else term_stats
+    weighted = terms.join(stats, "term").withColumn(
+        "w_raw",
+        F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
     )
     norms = weighted.groupBy("url").agg(
         F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw"))).alias("l2")
