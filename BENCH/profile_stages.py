@@ -72,9 +72,9 @@ def main() -> None:
     print(f"  union pairs={npairs}", flush=True)
 
     docs = pages.select("url", "text", "lang").join(
-        sigs.select("url", "shingles", "minhash", "simhash"), "url"
+        sigs.select("url", "shingles", "mini", "simhash"), "url"
     )
-    feats, _ = timed("features", lambda: force(compute_features(pairs, docs, cfg)), t)
+    feats, _ = timed("features", lambda: force(compute_features(pairs, docs, cfg, ratios_for="mixed")), t)
     dec, _ = timed("decide", lambda: force(triage_rule(feats, cfg)), t)
     matches = dec.where(F.col("is_dup") == 1)
     comp = timed("cc", lambda: force(connected_components(matches.select("url_a", "url_b")))[0], t)

@@ -5,7 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from webdedup.config import DedupConfig
-from webdedup.features import jaccard_arrays
+from webdedup.features import jaccard_sketch
 from webdedup.metrics import (
     canonical_pairs,
     pair_metrics,
@@ -47,7 +47,7 @@ def test_parity_vs_bruteforce_oracle(spark, corpus, cfg, result):
     brute = (
         a.crossJoin(b)
         .where(F.col("url_a") < F.col("url_b"))
-        .withColumn("j", jaccard_arrays(F.col("sh_a"), F.col("sh_b")))
+        .withColumn("j", jaccard_sketch(F.col("sh_a"), F.col("sh_b"), cfg.shingle_sketch_k))
         .where(F.col("j") >= cfg.jaccard_threshold)
         .select("url_a", "url_b")
     )

@@ -59,6 +59,8 @@ def _pairs_from_keys(
     method: str,
     max_bucket: int | None = None,
     persist_keys: bool = False,
+    carry_cols: list[str] | None = None,
+    pair_filter=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Self-join within (key_idx, key_hash) buckets -> distinct (url_a, url_b).
 
@@ -91,17 +93,29 @@ def _pairs_from_keys(
         F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_dropped_bucket"),
     )
 
+    carry_cols = carry_cols or []
     pruned = keys.join(ok.select("key_idx", "key_hash"), ["key_idx", "key_hash"])
     left = pruned.select(
-        F.col("key_idx"), F.col("key_hash"), F.col("url").alias("url_a")
+        F.col("key_idx"),
+        F.col("key_hash"),
+        F.col("url").alias("url_a"),
+        *[F.col(c).alias(f"{c}_a") for c in carry_cols],
     )
     right = pruned.select(
-        F.col("key_idx"), F.col("key_hash"), F.col("url").alias("url_b")
+        F.col("key_idx"),
+        F.col("key_hash"),
+        F.col("url").alias("url_b"),
+        *[F.col(c).alias(f"{c}_b") for c in carry_cols],
     )
+    joined = left.join(right, ["key_idx", "key_hash"]).where(
+        F.col("url_a") < F.col("url_b")
+    )
+    if pair_filter is not None:
+        # IN-JOIN pair gate: runs in the join stage, before the distinct
+        # exchange — a pair dropped here never costs a shuffle byte
+        joined = pair_filter(joined)
     pairs = (
-        left.join(right, ["key_idx", "key_hash"])
-        .where(F.col("url_a") < F.col("url_b"))
-        .select("url_a", "url_b")
+        joined.select("url_a", "url_b")
         .distinct()
         .withColumn("method", F.lit(method))
     )
@@ -126,8 +140,28 @@ def minhash_candidates(
     J >= jaccard_threshold (0.5), which cannot estimate below 0.12 — so
     blocking recall at the decision boundary is unaffected.
     """
-    keys = _explode_keys(signatures, "bands")
-    raw, skew = _pairs_from_keys(keys, cfg, "minhash")
+    use_mini = cfg.mini_min_agree > 0 and "mini" in signatures.columns
+    keys = signatures.select(
+        "url",
+        *(["mini"] if use_mini else []),
+        F.posexplode("bands").alias("key_idx", "key_hash"),
+    )
+
+    def mini_gate(joined: DataFrame) -> DataFrame:
+        agree = F.aggregate(
+            F.zip_with("mini_a", "mini_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        return joined.where(agree >= F.lit(cfg.mini_min_agree))
+
+    raw, skew = _pairs_from_keys(
+        keys,
+        cfg,
+        "minhash",
+        carry_cols=["mini"] if use_mini else None,
+        pair_filter=mini_gate if use_mini else None,
+    )
     if cfg.minhash_prefilter <= 0:
         return raw, skew
     from webdedup.features import minhash_similarity

@@ -52,6 +52,24 @@ class DedupConfig:
     # boilerplate false-candidate tail before the SBS join, recall-neutral
     # at the jaccard_threshold decision boundary)
     minhash_prefilter: float = 0.12
+    # in-join mini-sketch gate: the band self-join carries mini_perms
+    # 31-bit-reduced minhash values per side and requires >= mini_min_agree
+    # positional agreements before a pair may leave the join stage.  At 32
+    # perms / >=5 agreements (est J >= 0.156): a true J=0.5 pair is lost
+    # with P[Binom(32,0.5) <= 4] ~ 1e-6 (recall-neutral at the decision
+    # boundary), while a J~0.08 boilerplate pair passes with
+    # P[Binom(32,0.08) >= 5] ~ 0.14 — an ~7x cut of the quadratic junk-pair
+    # tail before the (1 KB/pair) full-signature prefilter join.
+    mini_perms: int = 32
+    mini_min_agree: int = 5
+    # bottom-k shingle sketch stored in the signature table: per-doc state
+    # is CONSTANT-SIZE regardless of document length, so the per-pair
+    # verification join hauls <= 2 KB of shingle data per side instead of
+    # O(doc_len) (measured 29 KB/side at Common-Crawl-sized pages).  For
+    # docs with < k shingles the sketch IS the full set and the jaccard is
+    # exact (all pytest corpora and the sf0.01 oracle scale); above k it is
+    # the standard unbiased bottom-k estimator, sigma <= 0.5/sqrt(k) ~ 0.031.
+    shingle_sketch_k: int = 256
 
     # ---- verification / classification thresholds ----
     jaccard_threshold: float = 0.5   # exact (hashed-shingle) Jaccard to call a pair dup

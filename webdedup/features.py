@@ -73,6 +73,19 @@ def jaccard_arrays(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def jaccard_sketch(a: Column, b: Column, k: int) -> Column:
+    """Jaccard from two bottom-k sketches (signed-ascending order, as the
+    signature table stores them): take the k smallest of the sketch union,
+    count how many are in both sketches.  Exact when |A ∪ B| <= k (the
+    sketches are then the full sets); otherwise the standard unbiased
+    bottom-k estimator.  Membership logic: h ∈ bottom-k(A ∪ B) and h ∈ A
+    implies h ∈ bottom-k(A), so intersecting with the SKETCHES is exact."""
+    u = F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+    num = F.size(F.array_intersect(u, F.array_intersect(a, b)))
+    den = F.size(u)
+    return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+
 def minhash_similarity(a: Column, b: Column, num_perm: int) -> Column:
     """Fraction of agreeing MinHash positions == unbiased Jaccard estimate."""
     agree = F.aggregate(
@@ -265,9 +278,11 @@ def compute_features(
 ) -> DataFrame:
     """Candidate pairs -> feature table (url_a, url_b, methods?, f_1..f_k).
 
-    ``docs`` must carry (url, text, lang, shingles, minhash, simhash) — i.e.
-    pages joined with compute_signatures output.  All nulls imputed to
-    navalue_score=0.0 per the reference convention.
+    ``docs`` must carry (url, text, lang, shingles, mini, simhash) — i.e.
+    pages joined with compute_signatures output (shingles = the bottom-k
+    sketch, mini = the reduced minhash prefix; both constant-size so the
+    two SBS joins haul O(1) state per pair side, not O(doc_len)).  All
+    nulls imputed to navalue_score=0.0 per the reference convention.
 
     ratios_for: "all" computes the expensive ratio comparators (python UDF)
     for every pair; "mixed" computes them only for pairs the cheap native
@@ -276,7 +291,7 @@ def compute_features(
     row-apply comparators, suricate/pipeline/pruningpipe.py:102-107).
     Excluded pairs carry navalue_score 0.0 in the ratio columns.
     """
-    doc_cols = ["text", "lang", "shingles", "minhash", "simhash"]
+    doc_cols = ["text", "lang", "shingles", "mini", "simhash"]
     # CPU-parallelism guard: candidate-pair rows are tiny (two urls + method
     # tags), so AQE's byte-based coalescing collapses them to 1-3 partitions
     # and the docs join is usually a broadcast (no reshuffle) — which would
@@ -304,7 +319,11 @@ def compute_features(
         # prevents gate/decision drift: a null-shingle pair must look
         # identical to both)
         sj = F.coalesce(
-            jaccard_arrays(F.col("shingles_source"), F.col("shingles_target")),
+            jaccard_sketch(
+                F.col("shingles_source"),
+                F.col("shingles_target"),
+                cfg.shingle_sketch_k,
+            ),
             F.lit(0.0),
         )
         methods = F.col("methods") if "methods" in pairs.columns else None
@@ -318,11 +337,16 @@ def compute_features(
         "url_b",
         *carry,
         F.coalesce(
-            minhash_similarity(F.col("minhash_source"), F.col("minhash_target"), cfg.num_perm),
+            minhash_similarity(F.col("mini_source"), F.col("mini_target"), cfg.mini_perms),
             F.lit(0.0),
         ).alias("minhash_sim"),
         F.coalesce(
-            jaccard_arrays(F.col("shingles_source"), F.col("shingles_target")), F.lit(0.0)
+            jaccard_sketch(
+                F.col("shingles_source"),
+                F.col("shingles_target"),
+                cfg.shingle_sketch_k,
+            ),
+            F.lit(0.0),
         ).alias("shingle_jaccard"),
         F.coalesce(
             simhash_similarity(F.col("simhash_source"), F.col("simhash_target"), cfg.simhash_bits),

@@ -106,7 +106,7 @@ def run_dedup(
 
     # -- 3. features ----------------------------------------------------------
     docs = pages.select("url", "text", "lang").join(
-        signatures.select("url", "shingles", "minhash", "simhash"), "url"
+        signatures.select("url", "shingles", "mini", "simhash"), "url"
     )
     # expensive ratio comparators only for triage-mixed pairs — the
     # reference's pruning semantics (PruningPipe scores only mixed pairs

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from webdedup.config import DedupConfig
-from webdedup.features import jaccard_arrays
+from webdedup.features import jaccard_sketch
 from webdedup.signatures import compute_signatures
 
 
@@ -59,7 +59,9 @@ def _match_against(
         .distinct()
     )
     verified = cand.where(
-        jaccard_arrays(F.col("shingles"), F.col("ref_shingles"))
+        jaccard_sketch(
+            F.col("shingles"), F.col("ref_shingles"), cfg.shingle_sketch_k
+        )
         >= cfg.jaccard_threshold
     )
     # deterministic stand-in for the reference's majority vote: min gid
@@ -93,7 +95,10 @@ def process_batch(
             sh.select(F.col("url").alias("url_b"), F.col("shingles").alias("sh_b")),
             "url_b",
         )
-        .where(jaccard_arrays(F.col("sh_a"), F.col("sh_b")) >= cfg.jaccard_threshold)
+        .where(
+            jaccard_sketch(F.col("sh_a"), F.col("sh_b"), cfg.shingle_sketch_k)
+            >= cfg.jaccard_threshold
+        )
         .select("url_a", "url_b")
     )
     internal = connected_components(verified)
