@@ -64,9 +64,13 @@ def run_level(cores: int, input_dir: Path) -> dict:
         capture_output=True,
         text=True,
     )
+    errfile = HERE / f"run_one_{cores}.stderr"
+    errfile.write_text(out.stderr)
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])
-        raise SystemExit(f"run_one --cores {cores} failed rc={out.returncode}")
+        raise SystemExit(
+            f"run_one --cores {cores} failed rc={out.returncode} (full stderr: {errfile})"
+        )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
 

@@ -169,9 +169,12 @@ def minhash_candidates(
     sig = signatures.select("url", "minhash")
     a = sig.select(F.col("url").alias("url_a"), F.col("minhash").alias("mh_a"))
     b = sig.select(F.col("url").alias("url_b"), F.col("minhash").alias("mh_b"))
+    # merge hints: the signature side carries 1 KB arrays the static planner
+    # under-estimates (UDF-derived) — never let it become a broadcast build
+    # side (see substring.verify_overlaps for the measured failure mode)
     filtered = (
-        raw.join(a, "url_a")
-        .join(b, "url_b")
+        raw.join(a.hint("merge"), "url_a")
+        .join(b.hint("merge"), "url_b")
         .where(
             minhash_similarity(F.col("mh_a"), F.col("mh_b"), cfg.num_perm)
             >= F.lit(cfg.minhash_prefilter)

@@ -217,7 +217,11 @@ def build_sbs(pairs: DataFrame, docs: DataFrame, cols: list[str]) -> DataFrame:
     tgt = docs.select(
         F.col("url").alias("url_b"), *[F.col(c).alias(f"{c}_target") for c in cols]
     )
-    return pairs.join(src, "url_a").join(tgt, "url_b")
+    # merge hints: the doc side carries text + sketch arrays whose size the
+    # static planner under-estimates (UDF-derived) — a statically-planned
+    # broadcast of it is a driver collect of the whole corpus state and AQE
+    # cannot demote it
+    return pairs.join(src.hint("merge"), "url_a").join(tgt.hint("merge"), "url_b")
 
 
 def explain_scores(features: DataFrame) -> DataFrame:
