@@ -43,7 +43,12 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(cores, 8)
+        # 4x the core count: AQE coalesces small stages back down for free,
+        # while wide-array stages (gram/sketch tables, pair distincts) get
+        # per-partition hash maps that FIT — at shuffle_partitions == cores
+        # a 150k-doc run dies allocating 1 GB BytesToBytesMap pages at
+        # local[8] (8 giant partitions, 16 GB heap)
+        shuffle_partitions = max(4 * cores, 32)
 
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
