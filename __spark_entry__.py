@@ -934,8 +934,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT triage, count(*) AS n_pairs, round(avg(jaccard), 6) AS avg_score
             FROM f GROUP BY triage ORDER BY triage
         """,
-        # minhash_clusters / simhash_signatures / substring_overlaps /
-        # ann_rp_lsh / media_features: non-SQL-expressible (pandas-UDF
-        # signatures, iterative CC, gram-intersection verification,
-        # mapInPandas decode) -> rows-only checks.
+        # ann_rp_lsh: the single rows-only query (genuinely approximate —
+        # random-hyperplane LSH); recall vs the exact top-k is asserted in
+        # tests/test_ann_multimodal.py instead of a SQL oracle.
     }

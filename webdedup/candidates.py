@@ -94,7 +94,24 @@ def _pairs_from_keys(
     )
 
     carry_cols = carry_cols or []
-    pruned = keys.join(ok.select("key_idx", "key_hash"), ["key_idx", "key_hash"])
+    # merge pins: the key table is UDF-derived (exploded band/anchor hashes),
+    # so the static planner estimates it from the parquet scan size and will
+    # happily BROADCAST millions of key rows as the build side of the prune
+    # join or the bucket self-join (observed at 150k pages: the self-join's
+    # broadcast build + the pair-distinct partial agg on its unpartitioned
+    # output thrashed 8 tasks against the memory manager for 19+ min).  AQE
+    # cannot demote a statically-planned broadcast; pin sort-merge.  Both
+    # joins key on (key_idx, key_hash), so the prune exchange is reused by
+    # the self-join.
+    pruned = keys.join(
+        ok.select("key_idx", "key_hash").hint("merge"), ["key_idx", "key_hash"]
+    )
+    if persist_keys:
+        from pyspark import StorageLevel
+
+        # the self-join scans pruned twice; persisting it also stops the
+        # bucket-stats agg chain from being recomputed per side
+        pruned = pruned.persist(StorageLevel.MEMORY_AND_DISK)
     left = pruned.select(
         F.col("key_idx"),
         F.col("key_hash"),
@@ -107,7 +124,7 @@ def _pairs_from_keys(
         F.col("url").alias("url_b"),
         *[F.col(c).alias(f"{c}_b") for c in carry_cols],
     )
-    joined = left.join(right, ["key_idx", "key_hash"]).where(
+    joined = left.join(right.hint("merge"), ["key_idx", "key_hash"]).where(
         F.col("url_a") < F.col("url_b")
     )
     if pair_filter is not None:
@@ -197,9 +214,12 @@ def simhash_candidates(
     sig = signatures.select("url", "simhash")
     a = sig.select(F.col("url").alias("url_a"), F.col("simhash").alias("sim_a"))
     b = sig.select(F.col("url").alias("url_b"), F.col("simhash").alias("sim_b"))
+    # merge pins: same UDF-derived-size-estimate hazard as the minhash
+    # prefilter joins — never let the full-corpus signature table become a
+    # broadcast build side
     filtered = (
-        raw.join(a, "url_a")
-        .join(b, "url_b")
+        raw.join(a.hint("merge"), "url_a")
+        .join(b.hint("merge"), "url_b")
         .where(
             F.bit_count(F.expr("sim_a ^ sim_b")) <= F.lit(cfg.simhash_max_hamming)
         )
@@ -221,8 +241,10 @@ def exact_candidates(pages: DataFrame) -> DataFrame:
     keeper = hashed.groupBy("text_hash").agg(
         F.min("url").alias("url_a"), F.count("*").alias("n")
     )
+    # keeper is corpus-sized (one row per distinct text) — merge pin keeps
+    # the planner from broadcasting it off a bad agg-output estimate
     return (
-        hashed.join(keeper.where(F.col("n") >= 2), "text_hash")
+        hashed.join(keeper.where(F.col("n") >= 2).hint("merge"), "text_hash")
         .where(F.col("url") != F.col("url_a"))
         .select("url_a", F.col("url").alias("url_b"))
         .withColumn("method", F.lit("exact"))

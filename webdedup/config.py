@@ -39,7 +39,15 @@ class DedupConfig:
     simhash_max_hamming: int = 3
 
     # ---- substring (suffix-anchor) pass ----
-    anchor_len: int = 24        # char-gram anchor width
+    # anchor width 40 (not 24): blocking only needs ONE selected window
+    # inside a shared span (miss P = (7/8)^(L-39) ~ 2e-5 at L=120), but the
+    # candidate junk rate is driven by random anchor collisions across
+    # unrelated docs, which fall combinatorially with width.  Measured at a
+    # 150k-page corpus: 24-char anchors produced 21.7M candidate pairs of
+    # which 18.7M shared exactly one anchor (boilerplate/chance collisions),
+    # flooding the gram-verify join with ~500 GB of array traffic; 40-char
+    # anchors kill that tail at the source.
+    anchor_len: int = 40        # char-gram anchor width
     anchor_stride: int = 8      # sample an anchor every `stride` chars
     anchor_max_docs: int = 64   # anchors shared by more docs are boilerplate -> dropped
     min_overlap_chars: int = 200  # planted-substring detection threshold

@@ -68,6 +68,15 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # this sandbox VM's host reclaims idle guest frames; a full GC that
+        # re-faults a 16 GB heap can stall the driver's RPC threads past the
+        # default 120 s network timeout, after which Spark declares the
+        # driver dead and tears the job down mid-run (observed: local[8] on
+        # the 150k-page bench corpus).  Same mitigation as for long GC
+        # pauses on big-heap executors in production: raise the timeouts.
+        .config("spark.network.timeout", "600s")
+        .config("spark.rpc.askTimeout", "600s")
+        .config("spark.rpc.lookupTimeout", "600s")
     )
     if pretouch_gb:
         builder = builder.config(
