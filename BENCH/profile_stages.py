@@ -43,7 +43,14 @@ def main() -> None:
     cores = int(os.environ.get("PROF_CORES", "8"))
     input_dir = os.environ.get("PROF_INPUT", "BENCH/data/pages_8000")
     cfg = DedupConfig()
-    spark = get_spark(app_name="profile", cores=cores)
+    extra = {}
+    if os.environ.get("PROF_EVENTLOG"):
+        os.makedirs("/tmp/spark-events", exist_ok=True)
+        extra = {
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": "file:///tmp/spark-events",
+        }
+    spark = get_spark(app_name=f"profile-{cores}", cores=cores, extra_conf=extra)
     warm_python_workers(spark, cores)
     pages = spark.read.parquet(input_dir).persist()
     n = pages.count()

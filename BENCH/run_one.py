@@ -44,6 +44,11 @@ def main() -> None:
     checksum = ""
     for _ in range(max(args.repeat, 1)):
         spark.catalog.clearCache()
+        # big heaps GC rarely, so the ContextCleaner (which piggybacks on
+        # driver GC to delete finished shuffle files) lags a whole run
+        # behind — two repeats accumulated ~35 GB of dead shuffle files and
+        # filled the disk.  Force a full GC so each repeat starts clean.
+        spark.sparkContext._jvm.System.gc()
         pages = spark.read.parquet(args.input)
         t0 = time.time()
         out = run_dedup(spark, pages, DedupConfig(), with_golden=False)
@@ -61,6 +66,7 @@ def main() -> None:
         )
         runs.append(round(time.time() - t0, 2))
         checksum = hashlib.md5(f"{row['n']}:{row['h']}".encode()).hexdigest()
+        print(f"  run {len(runs)}: {runs[-1]}s", file=sys.stderr, flush=True)
 
     # min across repeats: the host reclaims idle guest frames continuously,
     # so any single run can absorb tens of seconds of re-fault noise; the

@@ -9,9 +9,10 @@ with declarative LSH blocking:
   - (substring anchors live in substring.py)
 
 Skew handling is explicit (north_rule): bucket sizes are computed with a
-salted two-phase aggregation, oversized buckets (boilerplate pages) are
-capped and the dropped mass is RETURNED as a metrics DataFrame — never
-silently truncated.  AQE skew-join splitting backstops the self-joins.
+map-side-partial two-phase aggregation (see bucket_stats), oversized buckets
+(boilerplate pages) are capped and the dropped mass is RETURNED as a metrics
+DataFrame — never silently truncated.  AQE skew-join splitting backstops the
+self-joins.
 
 Output candidate schema mirrors the reference's ES output
 (ix_source, ix_target, es_score, es_rank) as:
@@ -26,30 +27,21 @@ from pyspark.sql import functions as F
 from webdedup.config import DedupConfig
 
 
-def _explode_keys(signatures: DataFrame, array_col: str) -> DataFrame:
-    """(url, bands|blocks) -> (url, key_idx, key_hash)."""
-    return signatures.select(
-        "url", F.posexplode(array_col).alias("key_idx", "key_hash")
-    )
-
-
 def bucket_stats(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Two-phase salted bucket sizing: (key_idx, key_hash, bucket_size).
+    """Two-phase bucket sizing: (key_idx, key_hash, bucket_size).
 
-    Phase 1 pre-aggregates per (key, salt) so a boilerplate hot key spreads
-    over `salt_buckets` reducers; phase 2 merges the partial counts.  (For a
-    pure count Spark's map-side partial agg gives this too — the explicit
-    salt keeps the hot-key fan-out under our control and is the documented
-    two-phase pattern the north_rule requires for skewed band hashes.)
+    Skew-safe by construction: a pure count aggregates map-side first
+    (HashAggregate partial -> exchange -> final), so each map partition
+    ships at most ONE row per (key_idx, key_hash) and a boilerplate hot key
+    costs every reducer at most num_map_partitions rows — the same bound an
+    explicit salt gives.  An earlier version salted anyway (groupBy key+salt,
+    then re-aggregate); that is the right pattern for aggregates whose
+    partial state is wide (collect_list/distinct counts), but for a count it
+    only added an exchange + AQE stage per candidate source (3 per run) with
+    no skew benefit.
     """
-    salted = keys.withColumn(
-        "salt", F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets))
-    )
-    phase1 = salted.groupBy("key_idx", "key_hash", "salt").agg(
-        F.count("*").alias("partial_n")
-    )
-    return phase1.groupBy("key_idx", "key_hash").agg(
-        F.sum("partial_n").alias("bucket_size")
+    return keys.groupBy("key_idx", "key_hash").agg(
+        F.count("*").alias("bucket_size")
     )
 
 
@@ -94,17 +86,24 @@ def _pairs_from_keys(
     )
 
     carry_cols = carry_cols or []
-    # merge pins: the key table is UDF-derived (exploded band/anchor hashes),
-    # so the static planner estimates it from the parquet scan size and will
-    # happily BROADCAST millions of key rows as the build side of the prune
-    # join or the bucket self-join (observed at 150k pages: the self-join's
-    # broadcast build + the pair-distinct partial agg on its unpartitioned
-    # output thrashed 8 tasks against the memory manager for 19+ min).  AQE
-    # cannot demote a statically-planned broadcast; pin sort-merge.  Both
-    # joins key on (key_idx, key_hash), so the prune exchange is reused by
-    # the self-join.
+    # shuffle_hash pins, two reasons.  (1) The key table is UDF-derived
+    # (exploded band/anchor hashes), so the static planner estimates it from
+    # the parquet scan size and will happily BROADCAST millions of key rows
+    # as the build side (observed at 150k pages: the broadcast build + the
+    # pair-distinct partial agg on its unpartitioned output thrashed 8 tasks
+    # against the memory manager for 19+ min; AQE cannot demote a
+    # statically-planned broadcast).  (2) vs sort-merge (the previous pin):
+    # hash probing streams, while sorting the multi-GB exploded key table
+    # is O(n log n) MEMORY-BOUND work that inflated CPU-seconds 2.6x when
+    # core count rose 8->32 on one box (cache contention, event-log
+    # measured).  Build sides are bounded: `ok` holds one row per surviving
+    # bucket, and the self-join's per-partition build is capped by
+    # max_bucket pruning; at cluster scale shuffle partition count grows
+    # with the data, keeping per-task builds flat.  Both joins key on
+    # (key_idx, key_hash), so the bucket-stats exchange is reused.
     pruned = keys.join(
-        ok.select("key_idx", "key_hash").hint("merge"), ["key_idx", "key_hash"]
+        ok.select("key_idx", "key_hash").hint("shuffle_hash"),
+        ["key_idx", "key_hash"],
     )
     if persist_keys:
         from pyspark import StorageLevel
@@ -124,7 +123,7 @@ def _pairs_from_keys(
         F.col("url").alias("url_b"),
         *[F.col(c).alias(f"{c}_b") for c in carry_cols],
     )
-    joined = left.join(right.hint("merge"), ["key_idx", "key_hash"]).where(
+    joined = left.join(right.hint("shuffle_hash"), ["key_idx", "key_hash"]).where(
         F.col("url_a") < F.col("url_b")
     )
     if pair_filter is not None:
@@ -157,7 +156,7 @@ def minhash_candidates(
     J >= jaccard_threshold (0.5), which cannot estimate below 0.12 — so
     blocking recall at the decision boundary is unaffected.
     """
-    use_mini = cfg.mini_min_agree > 0 and "mini" in signatures.columns
+    use_mini = cfg.mini_max_hamming > 0 and "mini" in signatures.columns
     keys = signatures.select(
         "url",
         *(["mini"] if use_mini else []),
@@ -165,12 +164,12 @@ def minhash_candidates(
     )
 
     def mini_gate(joined: DataFrame) -> DataFrame:
-        agree = F.aggregate(
-            F.zip_with("mini_a", "mini_b", lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
+        from webdedup.features import packed_minhash_hamming
+
+        ham = packed_minhash_hamming(
+            F.col("mini_a"), F.col("mini_b"), cfg.mini_perms // 8
         )
-        return joined.where(agree >= F.lit(cfg.mini_min_agree))
+        return joined.where(ham <= F.lit(cfg.mini_max_hamming))
 
     raw, skew = _pairs_from_keys(
         keys,
@@ -209,23 +208,21 @@ def simhash_candidates(
     Pigeonhole: hamming distance <= simhash_max_hamming < simhash_blocks
     guarantees the pair shares at least one block value.
     """
-    keys = _explode_keys(signatures, "blocks")
-    raw, skew = _pairs_from_keys(keys, cfg, "simhash")
-    sig = signatures.select("url", "simhash")
-    a = sig.select(F.col("url").alias("url_a"), F.col("simhash").alias("sim_a"))
-    b = sig.select(F.col("url").alias("url_b"), F.col("simhash").alias("sim_b"))
-    # merge pins: same UDF-derived-size-estimate hazard as the minhash
-    # prefilter joins — never let the full-corpus signature table become a
-    # broadcast build side
-    filtered = (
-        raw.join(a.hint("merge"), "url_a")
-        .join(b.hint("merge"), "url_b")
-        .where(
-            F.bit_count(F.expr("sim_a ^ sim_b")) <= F.lit(cfg.simhash_max_hamming)
-        )
-        .select("url_a", "url_b", "method")
+    keys = signatures.select(
+        "url", "simhash", F.posexplode("blocks").alias("key_idx", "key_hash")
     )
-    return filtered, skew
+
+    def hamming_gate(joined: DataFrame) -> DataFrame:
+        # in-join: the signature is ONE long carried on each key row, so the
+        # exact hamming predicate runs inside the self-join stage (native
+        # bit_count, codegen) — an earlier version re-joined the signature
+        # table twice after the fact, paying two more 150k-row sort-merges
+        ham = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+        return joined.where(ham <= F.lit(cfg.simhash_max_hamming))
+
+    return _pairs_from_keys(
+        keys, cfg, "simhash", carry_cols=["simhash"], pair_filter=hamming_gate
+    )
 
 
 def exact_candidates(pages: DataFrame) -> DataFrame:
@@ -241,10 +238,11 @@ def exact_candidates(pages: DataFrame) -> DataFrame:
     keeper = hashed.groupBy("text_hash").agg(
         F.min("url").alias("url_a"), F.count("*").alias("n")
     )
-    # keeper is corpus-sized (one row per distinct text) — merge pin keeps
-    # the planner from broadcasting it off a bad agg-output estimate
+    # keeper is corpus-sized (one row per distinct text) — the shuffle_hash
+    # pin keeps the planner from broadcasting it off a bad agg-output
+    # estimate, and reuses the groupBy's text_hash exchange without a sort
     return (
-        hashed.join(keeper.where(F.col("n") >= 2).hint("merge"), "text_hash")
+        hashed.join(keeper.where(F.col("n") >= 2).hint("shuffle_hash"), "text_hash")
         .where(F.col("url") != F.col("url_a"))
         .select("url_a", F.col("url").alias("url_b"))
         .withColumn("method", F.lit("exact"))

@@ -51,25 +51,48 @@ class DedupConfig:
     anchor_stride: int = 8      # sample an anchor every `stride` chars
     anchor_max_docs: int = 64   # anchors shared by more docs are boilerplate -> dropped
     min_overlap_chars: int = 200  # planted-substring detection threshold
+    # verification gram-bucket cap (see substring.verify_overlaps): a
+    # >=200-char span shared by more docs than this is web boilerplate whose
+    # quadratic self-join fan-out would dominate; 4x anchor_max_docs keeps
+    # the gate strictly looser than the candidate-side cap, so it never
+    # drops a pair the anchor pass let through via a same-hotness span.
+    verify_max_docs: int = 256
 
     # ---- candidate generation ----
     max_bucket_size: int = 256  # LSH buckets larger than this are capped (logged, not silent)
-    salt_buckets: int = 16      # salting fan-out for the two-phase bucket-size aggregation
-    # drop band-collision pairs whose MinHash-estimated Jaccard is below
-    # this (2.7 sigma under nomatch_threshold at num_perm=126; kills the
-    # boilerplate false-candidate tail before the SBS join, recall-neutral
-    # at the jaccard_threshold decision boundary)
-    minhash_prefilter: float = 0.12
-    # in-join mini-sketch gate: the band self-join carries mini_perms
-    # 31-bit-reduced minhash values per side and requires >= mini_min_agree
-    # positional agreements before a pair may leave the join stage.  At 32
-    # perms / >=5 agreements (est J >= 0.156): a true J=0.5 pair is lost
-    # with P[Binom(32,0.5) <= 4] ~ 1e-6 (recall-neutral at the decision
-    # boundary), while a J~0.08 boilerplate pair passes with
-    # P[Binom(32,0.08) >= 5] ~ 0.14 — an ~7x cut of the quadratic junk-pair
-    # tail before the (1 KB/pair) full-signature prefilter join.
-    mini_perms: int = 32
-    mini_min_agree: int = 5
+    # salting fan-out for wide-partial-state skewed aggregations (kept as a
+    # config surface; the pure-count bucket sizing no longer needs it — see
+    # candidates.bucket_stats)
+    salt_buckets: int = 16
+    # post-hoc full-signature prefilter join: OFF by default — the 64-perm
+    # in-join gate below subsumes it (same ~0.12 effective threshold) and
+    # costs no extra join.  >0 re-enables the old behavior: re-join the full
+    # 126-perm signatures and drop pairs whose estimated Jaccard is below
+    # the value (1 KB/pair of array traffic; kept as an option for configs
+    # with a small mini sketch).
+    minhash_prefilter: float = 0.0
+    # in-join mini-sketch gate: the band self-join carries a byte-packed
+    # mini_perms-permutation sketch (mini_perms/8 longs, signatures.
+    # mini_sketch) per side and drops a pair in the join stage unless the
+    # total BIT hamming of the packed words (features.packed_minhash_hamming
+    # — 2 codegen ops per word) is <= mini_max_hamming.  The gate is the
+    # ONLY junk filter (it replaced a 32-perm interpreted zip_with gate + a
+    # separate 126-perm 1 KB/pair prefilter join), so it carries the
+    # statistical power of both.  Calibration: an agreeing position
+    # contributes 0 bits, a disagreeing one Binom(8,1/2), so
+    # E[ham] = 4*120*(1-J_eff) = 480(1-J_eff), J_eff = J + (1-J)/256.
+    # At the 395 threshold (J_est >= ~0.18):
+    #   - boilerplate J~0.09 pair:  E=436, sd~15  -> passes P ~ 0.002
+    #     (the measured-good junk rate; a looser 64-perm gate at 0.16
+    #     junk-pass flooded the union with 5.4M pairs where 547k is right)
+    #   - mixed-zone J=0.2 pair:    E=382, sd~14  -> kept P ~ 0.83
+    #     (old two-stage: 0.75)
+    #   - decision J=0.5 pair:      E=239, sd~11  -> lost at 14 sigma, ~0.
+    # The 1/256 byte-collision bias only ever LOWERS hamming (passes extra
+    # junk, never drops a true pair).  15 packed longs = 120 B/row on the
+    # exploded key table — less than the old 32-int array's 144 B.
+    mini_perms: int = 120
+    mini_max_hamming: int = 395
     # bottom-k shingle sketch stored in the signature table: per-doc state
     # is CONSTANT-SIZE regardless of document length, so the per-pair
     # verification join hauls <= 2 KB of shingle data per side instead of

@@ -24,6 +24,29 @@ from pyspark.sql import SparkSession
 os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 
 
+def _heap_for(cores: int) -> str:
+    """Heap sized to the parallelism level: per-core GB x cores (min 16 GB).
+
+    local[N] stands in for an N-executor cluster, and a cluster scaled from
+    N to 4N executors brings 4x the total memory with it — each executor's
+    heap is fixed, their COUNT grows.  A fixed local heap instead starves
+    every task of execution memory as cores rise (at 16 GB, local[32] gives
+    each task ~0.3 GB vs local[8]'s 1.2 GB), so the wide-array sort-merge
+    stages spill/thrash precisely when parallelism doubles — measured on the
+    150k-page corpus: the minhash candidate stage ran SLOWER at local[32]
+    (97 s) than at local[8] (78 s) under a shared 16 GB heap.  2 GB/core
+    matches a typical production executor shape (4-8 cores, 8-16 GB).
+
+    Overrides: SPARK_DRIVER_MEMORY pins an absolute size,
+    SPARK_DRIVER_MEMORY_PER_CORE_GB changes the per-core rate.
+    """
+    fixed = os.environ.get("SPARK_DRIVER_MEMORY")
+    if fixed:
+        return fixed
+    per_core = float(os.environ.get("SPARK_DRIVER_MEMORY_PER_CORE_GB", "2"))
+    return f"{max(int(per_core * cores), 16)}g"
+
+
 def get_spark(
     app_name: str = "webdedup",
     cores: int | None = None,
@@ -64,7 +87,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config(
             "spark.driver.memory",
-            f"{pretouch_gb}g" if pretouch_gb else os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+            f"{pretouch_gb}g" if pretouch_gb else _heap_for(cores),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -74,6 +97,10 @@ def get_spark(
         # driver dead and tears the job down mid-run (observed: local[8] on
         # the 150k-page bench corpus).  Same mitigation as for long GC
         # pauses on big-heap executors in production: raise the timeouts.
+        # shuffle-file cleanup rides on driver GC; a large heap can go a
+        # whole pipeline run without one, leaking tens of GB of finished
+        # shuffle files — ask the ContextCleaner to force a GC periodically
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.network.timeout", "600s")
         .config("spark.rpc.askTimeout", "600s")
         .config("spark.rpc.lookupTimeout", "600s")

@@ -100,7 +100,13 @@ def _mix64_inplace(v: np.ndarray, tmp: np.ndarray) -> None:
 
 # Cap on flattened shingles processed per numpy block: bounds the
 # (num_perm x n_shingles) intermediate regardless of Arrow batch size.
-_CHUNK_SHINGLES = 1 << 16
+# Sized for cache residency, not just memory: at 1<<16 the two scratch
+# matrices are 66 MB each — pure DRAM traffic, and with every core running
+# a worker the shared memory bus caps aggregate throughput (measured
+# 32-process scaling 0.47).  At 1<<11 the scratch is 2 MB (L2/L3-resident
+# per worker) and 32-process scaling improves to 0.60 with ~3% solo cost
+# (BENCH/microbench_minhash.py).
+_CHUNK_SHINGLES = 1 << 11
 
 
 # Reusable per-process scratch buffers.  ENVIRONMENT-MEASURED RATIONALE: on
@@ -387,17 +393,34 @@ def compute_signatures(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def mini_sketch(minhash_col: Column, cfg: DedupConfig) -> Column:
-    """A 31-bit-reduced prefix of the MinHash signature (array<int>,
-    cfg.mini_perms values).  Carried on the exploded band-key rows so the
-    candidate self-join can estimate Jaccard IN-JOIN and drop the
-    boilerplate tail BEFORE any full signature is shuffled per pair —
+    """A byte-packed prefix of the MinHash signature: cfg.mini_perms
+    permutations reduced to 8 bits each and packed 8-per-long
+    (array<long>, mini_perms/8 words).  Carried on the exploded band-key
+    rows so the candidate self-join can estimate Jaccard IN-JOIN and drop
+    the boilerplate tail BEFORE any full signature is shuffled per pair —
     the full 126-perm signature is ~1 KB/pair, and at web scale the raw
     band-collision pair count is quasi-quadratic in the boilerplate cohort
     (measured: a 394 MB corpus produced >60 GB of prefilter-join shuffle).
 
-    The 31-bit reduction adds a 2^-31 per-position false-equality, biasing
-    the estimate up by ~5e-10 — irrelevant at the gate thresholds."""
-    return F.transform(
-        F.slice(minhash_col, 1, cfg.mini_perms),
-        lambda x: F.pmod(x, F.lit(1 << 31)).cast("int"),
-    )
+    Why packed bytes instead of an int array: the per-pair junk gate then
+    needs only xor + bit_count per word (features.packed_minhash_hamming)
+    — whole-stage-codegen native, no per-row array allocation.  An earlier
+    array<int> + zip_with/aggregate gate ran interpreted (CodegenFallback)
+    in the join hot path; its object churn made the candidate stage
+    memory-bound, inflating CPU-seconds 2.6x when core count rose 8->32 on
+    one box (event-log measured).
+
+    The 8-bit reduction adds a 1/256 per-position false-equality — the
+    agreement estimate is biased UP by ~ (1-J)/256, so the gate only ever
+    PASSES extra junk (never drops true pairs); thresholds in config.py
+    account for it."""
+    if cfg.mini_perms % 8 != 0:
+        raise ValueError("mini_perms must be a multiple of 8 (byte packing)")
+    words = []
+    for w in range(cfg.mini_perms // 8):
+        word = None
+        for j in range(8):
+            byte = F.shiftleft(F.pmod(minhash_col.getItem(8 * w + j), F.lit(256)), 8 * j)
+            word = byte if word is None else word.bitwiseOR(byte)
+        words.append(word)
+    return F.array(*words)

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -127,16 +127,6 @@ def substring_candidates(
     )
 
 
-def _dense_gram_sets(docs: DataFrame, length: int) -> DataFrame:
-    """(url, grams array<long>): rolling hash of EVERY length-byte gram.
-
-    O(n) numpy work per doc (vs O(n*length) for per-position substring
-    hashing) — only ever applied to candidate-pair members, never the full
-    corpus."""
-    udf = make_gram_hash_udf(length, 1)
-    return docs.select("url", udf(F.col("text")).alias("grams"))
-
-
 def verify_overlaps(
     pairs: DataFrame, pages: DataFrame, cfg: DedupConfig
 ) -> DataFrame:
@@ -145,7 +135,25 @@ def verify_overlaps(
     Returns (url_a, url_b, n_shared_grams); n_shared_grams >= 1 certifies a
     common substring of length >= min_overlap_chars (each shared dense-gram
     hash is one aligned exact window).
+
+    Plan shape: the dense grams of candidate-pair MEMBER docs are exploded to
+    (doc_id, gram) rows and self-joined within gram buckets, then the
+    resulting shared-gram counts are restricted to the candidate pair list.
+    An earlier design joined each pair to the full gram ARRAYS of both sides
+    and took array_intersect per pair — at 150k pages that hauled ~6 GB of
+    O(doc_len) arrays through the pair join (312 s at local[8], and the
+    interpreted intersect scaled poorly); the exploded self-join shuffles
+    fixed-width (long, long) rows instead and is pure relational work.
+
+    Skew gate: gram buckets above verify_max_docs (>=200-char spans shared
+    by that many docs — web boilerplate) are dropped before the self-join;
+    their quadratic pair fan-out would dominate at web scale, and pairs
+    sharing ONLY such spans were already capped out of the candidate list by
+    the anchor pass (anchor_max_docs < verify_max_docs).  Buckets of one doc
+    produce no pairs and are dropped by the same gate for free.
     """
+    from pyspark import StorageLevel
+
     p = pairs.select("url_a", "url_b")
     members = (
         p.select(F.col("url_a").alias("url"))
@@ -153,27 +161,41 @@ def verify_overlaps(
         .distinct()
     )
     docs = pages.join(members, "url", "left_semi")
-    # consumed on both sides of the pair join below — persist so the dense
-    # rolling-hash UDF runs once per member doc, not twice
-    from pyspark import StorageLevel
-
-    grams = _dense_gram_sets(docs, cfg.min_overlap_chars).persist(
-        StorageLevel.MEMORY_AND_DISK
+    udf = make_gram_hash_udf(cfg.min_overlap_chars, 1)
+    grams = docs.select(
+        # compact 64-bit doc id: the self-join + count shuffle then moves
+        # 16 B/row instead of a ~60 B url string per side (urls rejoin at
+        # the end, only for surviving pairs)
+        F.xxhash64("url").alias("did"),
+        F.explode(udf(F.col("text"))).alias("gram"),
     )
-    # merge hints: the gram table is UDF-derived, so the static planner
-    # estimates it from the parquet scan size and can pick it as a BROADCAST
-    # side — the dense int64 arrays are ~25x the source text (measured
-    # 1.8 GB driver collect at 150k docs, heap OOM at 400k).  AQE cannot
-    # demote a statically-planned broadcast, so pin sort-merge here.
-    a = grams.select(F.col("url").alias("url_a"), F.col("grams").alias("g_a"))
-    b = grams.select(F.col("url").alias("url_b"), F.col("grams").alias("g_b"))
-    return (
-        p.join(a.hint("merge"), "url_a")
-        .join(b.hint("merge"), "url_b")
-        .select(
-            "url_a",
-            "url_b",
-            F.size(F.array_intersect("g_a", "g_b")).alias("n_shared_grams"),
-        )
-        .where(F.col("n_shared_grams") >= 1)
+    # bucket-size gate as a window count: one shuffle on gram (reused by the
+    # self-join below), no second aggregate-and-join pass over the UDF output
+    w = Window.partitionBy("gram")
+    shared = (
+        grams.withColumn("d", F.count(F.lit(1)).over(w))
+        .where((F.col("d") >= 2) & (F.col("d") <= cfg.verify_max_docs))
+        .drop("d")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = shared.select("gram", F.col("did").alias("did_lo"))
+    b = shared.select("gram", F.col("did").alias("did_hi"))
+    # shuffle_hash (not merge): per-partition build is bounded by the
+    # verify_max_docs bucket cap; hash probing avoids sorting the exploded
+    # gram table (memory-bound at high core counts — see candidates.py)
+    counts = (
+        a.join(b.hint("shuffle_hash"), "gram")
+        .where(F.col("did_lo") < F.col("did_hi"))
+        .groupBy("did_lo", "did_hi")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    h_a, h_b = F.xxhash64("url_a"), F.xxhash64("url_b")
+    pk = p.select(
+        "url_a",
+        "url_b",
+        F.least(h_a, h_b).alias("did_lo"),
+        F.greatest(h_a, h_b).alias("did_hi"),
+    )
+    return pk.join(counts, ["did_lo", "did_hi"]).select(
+        "url_a", "url_b", "n_shared_grams"
     )
