@@ -127,7 +127,9 @@ pool is prewarmed once before both levels (BENCH/prewarm.py).
   (md5 over (count, sum xxhash64(url,gid)): `{small["clusters_checksum"]}`)
 
 Protocol: BENCH/scaling.py (subprocess per level), input snapshot at
-BENCH/data/pages_{N_DOCS}. Regenerate with `python BENCH/scaling.py`.
+BENCH/data/pages_{N_DOCS}{suffix}. Regenerate with `python BENCH/scaling.py`
+(SCALING_CORES_N / SCALING_DOCS / SCALING_TEXT_SCALE override the level pair
+and corpus).
 """
     (HERE / "BASELINE.md").write_text(md)
     print(f"wrote {HERE / 'BASELINE.md'}")
