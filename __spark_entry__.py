@@ -476,8 +476,9 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_substring_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Suffix-anchor substring pass over documents (non-SQL: mapInPandas
-    LCS verification)."""
+    """Suffix-anchor substring pass over documents: winnowing-anchor
+    blocking + exploded-gram self-join verification (exact >=120-char
+    shared-window certificates)."""
     from webdedup.config import DedupConfig
     from webdedup.substring import substring_candidates, verify_overlaps
 
@@ -486,6 +487,53 @@ def q_substring_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _docs_as_pages(docs)
     pairs, _ = substring_candidates(pages, cfg)
     return verify_overlaps(pairs, pages, cfg).orderBy("url_a", "url_b")
+
+
+def q_explain_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-method retrieval 'explain' breakdown — the ES explain-API
+    equivalent (suricate/dbconnectors/esconnector.py:237-294, which drills
+    each field's score out of the explanation JSON): one score column per
+    retrieval method, NULL when that method did not retrieve the pair.
+    Restricted here to the two oracle-replayable methods (exact text hash,
+    substring overlap); the minhash/simhash columns ride along as NULL so
+    the operator surface (features.explain_scores) is exercised verbatim."""
+    from webdedup.candidates import exact_candidates, union_candidates
+    from webdedup.config import DedupConfig
+    from webdedup.features import build_sbs, contains_score, explain_scores
+    from webdedup.substring import substring_candidates, verify_overlaps
+
+    cfg = DedupConfig(min_overlap_chars=120)
+    docs = _read(spark, sf_dir, "documents")
+    pages = _docs_as_pages(docs).cache()
+    ex = exact_candidates(pages)
+    ss_raw, _ = substring_candidates(pages, cfg)
+    ss = (
+        verify_overlaps(ss_raw, pages, cfg)
+        .select("url_a", "url_b")
+        .withColumn("method", F.lit("substring"))
+    )
+    pairs = union_candidates(ex, ss)
+    sbs = build_sbs(pairs, pages.select("url", "text"), ["text"])
+    feats = sbs.select(
+        "url_a",
+        "url_b",
+        "methods",
+        F.lit(None).cast("double").alias("minhash_sim"),
+        F.lit(None).cast("double").alias("simhash_sim"),
+        contains_score(F.col("text_source"), F.col("text_target")).alias(
+            "contains"
+        ),
+    )
+    out = explain_scores(feats)
+    return out.select(
+        "url_a",
+        "url_b",
+        F.array_join("methods", ",").alias("methods"),
+        "exact_score",
+        "minhash_score",
+        "simhash_score",
+        "substring_score",
+    ).orderBy("url_a", "url_b")
 
 
 def q_candidate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters": q_minhash_clusters,
         "simhash_signatures": q_simhash_signatures,
         "substring_overlaps": q_substring_overlaps,
+        "explain_scores": q_explain_scores,
         "candidate_topk": q_candidate_topk,
         "id_normalize": q_id_normalize,
         "sbs_interleaved": q_sbs_interleaved,
@@ -693,6 +742,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT printf('doc-%08d', a) AS url, printf('doc-%08d', min(b)) AS gid
             FROM reach GROUP BY a ORDER BY url
+        """,
+        "explain_scores": """
+            WITH ex AS (
+              SELECT printf('doc-%08d', g.m) AS url_a,
+                     printf('doc-%08d', d.doc_id) AS url_b,
+                     'exact' AS method
+              FROM (SELECT text, min(doc_id) AS m, count(*) AS c
+                    FROM documents GROUP BY text) g
+              JOIN documents d ON d.text = g.text AND d.doc_id <> g.m
+              WHERE g.c >= 2
+            ), w AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(range(1, length(text) - 118),
+                            i -> substr(text, i, 120)))) AS g
+              FROM documents WHERE length(text) >= 120
+            ), ss AS (
+              SELECT DISTINCT printf('doc-%08d', a.doc_id) AS url_a,
+                     printf('doc-%08d', b.doc_id) AS url_b,
+                     'substring' AS method
+              FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
+            ), u AS (
+              SELECT url_a, url_b, method FROM ex
+              UNION ALL SELECT url_a, url_b, method FROM ss
+            ), p AS (
+              SELECT url_a, url_b,
+                     string_agg(DISTINCT method, ',' ORDER BY method) AS methods
+              FROM u GROUP BY 1, 2
+            )
+            SELECT p.url_a, p.url_b, p.methods,
+                   CASE WHEN p.methods LIKE '%exact%' THEN 1.0 END
+                     AS exact_score,
+                   CAST(NULL AS DOUBLE) AS minhash_score,
+                   CAST(NULL AS DOUBLE) AS simhash_score,
+                   CASE WHEN p.methods LIKE '%substring%' THEN
+                     CASE WHEN position(db.text IN da.text) > 0
+                            OR position(da.text IN db.text) > 0
+                          THEN 1.0 ELSE 0.0 END
+                   END AS substring_score
+            FROM p
+            JOIN documents da ON printf('doc-%08d', da.doc_id) = p.url_a
+            JOIN documents db ON printf('doc-%08d', db.doc_id) = p.url_b
+            ORDER BY p.url_a, p.url_b
         """,
         "substring_overlaps": """
             WITH w AS (
