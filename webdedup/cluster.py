@@ -148,14 +148,18 @@ def connected_components(
     contraction output is one edge per non-root node, so the single-task
     cutoff is really a bound on component-member count.
     """
-    if edges.isEmpty():
-        return edges.sparkSession.createDataFrame([], "url string, gid string")
-
     cur = edges.select("url_a", "url_b").where(F.col("url_a") != F.col("url_b"))
     cur = _local_contract(cur)
     cur = cur.localCheckpoint()
 
-    if cur.count() <= SINGLE_TASK_EDGE_LIMIT:
+    n_edges = cur.count()
+    if n_edges == 0:
+        # no isEmpty() pre-check: that was a separate driver action forcing
+        # a partial computation of the whole upstream pipeline before the
+        # contraction ran; the contraction of an empty edge set is empty,
+        # so the count above answers both questions in one job
+        return edges.sparkSession.createDataFrame([], "url string, gid string")
+    if n_edges <= SINGLE_TASK_EDGE_LIMIT:
         # contracted graph is small: one exact union-find pass, no rounds
         final = _local_contract(cur, num_partitions=1).localCheckpoint()
         membership = final.select(
