@@ -177,3 +177,60 @@ def test_explain_scores_gating(spark):
     r2 = rows[("c", "d")]
     assert r2["substring_score"] == 1.0 and r2["exact_score"] is None
     assert r2["minhash_score"] is None
+
+
+def test_packed_sketch_hamming_matches_python_reference(spark):
+    """mini_sketch + packed_minhash_hamming against a pure-python replay:
+    pack 8-bit reductions of the minhash prefix into longs, then total bit
+    hamming — the candidate-join gate must agree with the reference bit for
+    bit (it is the only junk filter in the blocking layer)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from webdedup.config import DedupConfig
+    from webdedup.features import packed_minhash_hamming, packed_minhash_similarity
+    from webdedup.signatures import mini_sketch
+
+    cfg = DedupConfig()
+    rng = np.random.default_rng(7)
+    sig_a = rng.integers(-(2**62), 2**62, size=cfg.num_perm).tolist()
+    # b agrees with a on the first 40 positions
+    sig_b = sig_a[:40] + rng.integers(-(2**62), 2**62, size=cfg.num_perm - 40).tolist()
+
+    def pack(sig):
+        words = []
+        for w in range(cfg.mini_perms // 8):
+            v = 0
+            for j in range(8):
+                v |= (sig[8 * w + j] % 256) << (8 * j)
+            # python int -> signed 64-bit, as Spark's long arithmetic yields
+            words.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return words
+
+    pa, pb = pack(sig_a), pack(sig_b)
+    expected_ham = sum(bin((x ^ y) & ((1 << 64) - 1)).count("1") for x, y in zip(pa, pb))
+    expected_agree = sum(
+        1
+        for w in range(cfg.mini_perms // 8)
+        for j in range(8)
+        if (pa[w] >> (8 * j)) & 255 == (pb[w] >> (8 * j)) & 255
+    )
+
+    df = spark.createDataFrame(
+        [(sig_a, sig_b)], "ma array<long>, mb array<long>"
+    ).select(
+        mini_sketch(F.col("ma"), cfg).alias("pa"),
+        mini_sketch(F.col("mb"), cfg).alias("pb"),
+    )
+    row = df.select(
+        "pa",
+        "pb",
+        packed_minhash_hamming(F.col("pa"), F.col("pb"), cfg.mini_perms // 8).alias("ham"),
+        packed_minhash_similarity(F.col("pa"), F.col("pb"), cfg.mini_perms).alias("sim"),
+    ).first()
+    assert list(row["pa"]) == pa
+    assert list(row["pb"]) == pb
+    assert row["ham"] == expected_ham
+    assert abs(row["sim"] - expected_agree / cfg.mini_perms) < 1e-12
+    # 40 agreeing positions contribute zero hamming; sim >= 40/120
+    assert row["sim"] >= 40 / cfg.mini_perms
