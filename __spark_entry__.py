@@ -326,13 +326,20 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH approximate top-k (non-SQL: pandas-UDF sign
-    signatures) — the scale path of similarity search."""
+    """Random-hyperplane LSH approximate top-k — the scale path of
+    similarity search.  Driver variant uses the PORTABLE hyperplanes
+    (md5-derived integers + floor-quantized vectors, ann.
+    make_portable_sign_signature_udf) so the DuckDB oracle replays the
+    FULL algorithm — sign bits, prefix blocks, block-bucket candidate
+    join, cosine re-rank — bit-for-bit; the production gaussian-plane
+    path is recall-asserted in tests/test_ann_multimodal.py."""
     from webdedup.ann import rp_lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    out = rp_lsh_topk(emb, queries, k=10, dim=64, n_bits=64, n_blocks=8)
+    out = rp_lsh_topk(
+        emb, queries, k=10, dim=64, n_bits=64, n_blocks=8, planes="portable"
+    )
     return out.withColumn("cosine", F.round("cosine", 4)).orderBy("query_id", "rank")
 
 
@@ -1025,7 +1032,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT triage, count(*) AS n_pairs, round(avg(jaccard), 6) AS avg_score
             FROM f GROUP BY triage ORDER BY triage
         """,
-        # ann_rp_lsh: the single rows-only query (genuinely approximate —
-        # random-hyperplane LSH); recall vs the exact top-k is asserted in
-        # tests/test_ann_multimodal.py instead of a SQL oracle.
+        # full RP-LSH replay: md5-derived integer hyperplanes + floor-
+        # quantized vectors make the sign bits engine-independent (integer
+        # dot products — no float summation-order hazard), so DuckDB
+        # reproduces the exact candidate set; re-rank is the same cosine
+        # as ann_cosine_topk.
+        "ann_rp_lsh": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), q AS (
+              SELECT vec_id,
+                     list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+              FROM e
+            ), plane AS (
+              SELECT j, d,
+                     CAST(('0x' || substr(md5('rp:' || j || ':' || d), 1, 8))::UBIGINT
+                          % 2001 AS BIGINT) - 1000 AS u
+              FROM range(0, 64) t1(j) CROSS JOIN range(0, 64) t2(d)
+            ), bits AS (
+              SELECT q.vec_id, p.j,
+                     CASE WHEN sum(q.qv[p.d + 1] * p.u) > 0 THEN 1 ELSE 0 END AS b
+              FROM q CROSS JOIN plane p
+              GROUP BY q.vec_id, p.j
+            ), blk AS (
+              SELECT vec_id, j // 8 AS block_idx,
+                     sum(b * (1 << (j % 8))) AS block_val
+              FROM bits GROUP BY vec_id, j // 8
+            ), cand AS (
+              SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+              FROM blk qb
+              JOIN blk cb ON qb.block_idx = cb.block_idx
+                         AND qb.block_val = cb.block_val
+              WHERE qb.vec_id < 5 AND cb.vec_id <> qb.vec_id
+            ), scored AS (
+              SELECT c.query_id, c.neighbor_id,
+                     list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) *
+                      sqrt(list_dot_product(b.v, b.v))) AS cos
+              FROM cand c
+              JOIN e a ON a.vec_id = c.query_id
+              JOIN e b ON b.vec_id = c.neighbor_id
+            )
+            SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine FROM (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored
+            ) WHERE rank <= 10 ORDER BY query_id, rank
+        """,
     }

@@ -46,13 +46,64 @@ def test_gbt_learns_separable_rule(spark):
         }
     )
     df = spark.createDataFrame(pdf)
-    model = fit_classifier(df, feature_cols=["f1", "f2"], max_iter=10)
+    # pca_k=0: this test targets the raw GBT learner; with only 2 features
+    # the L2 Normalizer would collapse (f1, f2) rays and destroy the planted
+    # rule (the full Normalizer+PCA pipeline is covered below with a
+    # realistic feature count)
+    model = fit_classifier(df, feature_cols=["f1", "f2"], max_iter=10, pca_k=0)
     pred = predict_pairs(model, df, feature_cols=["f1", "f2"])
     acc = pred.where(F.col("y_pred") == F.col("y_true")).count() / n
     assert acc >= 0.97
     # proba column well-formed
     row = pred.select(F.min("y_proba").alias("lo"), F.max("y_proba").alias("hi")).first()
     assert 0.0 <= row["lo"] <= row["hi"] <= 1.0
+
+
+def _separable_pairs(n=400, n_feats=5, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    f = {f"f{i}": rng.uniform(0, 1, n) for i in range(n_feats)}
+    y = (f["f0"] > 0.5).astype(int)
+    return pd.DataFrame(
+        {"url_a": [f"a{i}" for i in range(n)], "url_b": ["x"] * n, **f, "y_true": y}
+    )
+
+
+def test_pipeline_has_normalizer_and_pca4(spark):
+    """Parity with the reference flagship classifier Pipeline[Imputer,
+    Normalizer, PCA(4), GBT] (tests/pipeindexer/test_pruningpipe.py:49-59):
+    the fitted model must contain an active L2 Normalizer and a PCA stage
+    projecting to exactly 4 components."""
+    from pyspark.ml.feature import Normalizer, PCAModel
+
+    cols = [f"f{i}" for i in range(5)]
+    df = spark.createDataFrame(_separable_pairs(n_feats=5))
+    model = fit_classifier(df, feature_cols=cols, max_iter=5)
+    stage_types = [type(s) for s in model.stages]
+    assert Normalizer in stage_types
+    pca = next(s for s in model.stages if isinstance(s, PCAModel))
+    assert pca.getK() == 4
+    # the GBT consumed the PCA output, and transform produces 4-dim vectors
+    scored = model.transform(df).select("fvec_pca").first()
+    assert len(scored["fvec_pca"]) == 4
+    # the full pipeline still learns the separable rule through PCA space
+    pred = predict_pairs(model, df)
+    acc = pred.where(F.col("y_pred") == F.col("y_true")).count() / 400
+    assert acc >= 0.95
+
+
+def test_cross_validated_fit(spark):
+    """CrossValidator path (GridSearchCV parity): returns a best PipelineModel
+    that still classifies the separable rule."""
+    cols = [f"f{i}" for i in range(5)]
+    df = spark.createDataFrame(_separable_pairs(n_feats=5, seed=1))
+    model = fit_classifier(df, feature_cols=cols, max_iter=20, cross_validate=True, cv_folds=2)
+    pred = predict_pairs(model, df)
+    acc = pred.where(F.col("y_pred") == F.col("y_true")).count() / 400
+    # CV trains on half the rows per fold; the bar is "the selected model
+    # learned the rule", not the full-data fit quality asserted above
+    assert acc >= 0.90
 
 
 def test_assemble_decisions(spark):

@@ -1,0 +1,56 @@
+"""CLI smoke tests (north rule: spark-submit --py-files launch surface).
+
+cmd_run reuses the active test SparkSession (the same branch spark-submit
+takes), so these run the real argument-parsing + pipeline wiring without a
+second JVM.
+"""
+
+import json
+import zipfile
+
+from webdedup.cli import main
+
+
+def test_cli_package(tmp_path):
+    out = tmp_path / "webdedup.zip"
+    main(["package", "--out", str(out)])
+    names = zipfile.ZipFile(out).namelist()
+    assert "webdedup/cli.py" in names
+    assert "webdedup/pipeline.py" in names
+
+
+def test_cli_synth_and_run_rule(spark, tmp_path, capsys):
+    data = tmp_path / "data"
+    main(["synth", "--n-docs", "120", "--seed", "5", "--out", str(data), "--partitions", "4"])
+    out = tmp_path / "out_rule"
+    main(
+        [
+            "run",
+            "--input", f"{data}/pages",
+            "--output", str(out),
+            "--checkpoint", str(tmp_path / "ck_rule"),
+        ]
+    )
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_docs"] == 120
+    assert stats["n_dup_groups"] >= 1
+    assert (out / "clusters" / "_SUCCESS").exists()
+
+
+def test_cli_run_ml_decision(spark, tmp_path, capsys):
+    data = tmp_path / "data"
+    main(["synth", "--n-docs", "300", "--seed", "9", "--out", str(data), "--partitions", "4"])
+    out = tmp_path / "out_ml"
+    main(
+        [
+            "run",
+            "--input", f"{data}/pages",
+            "--output", str(out),
+            "--decision", "ml",
+            "--truth", f"{data}/truth_pairs",
+            "--n-questions", "25",
+        ]
+    )
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_docs"] == 300
+    assert stats["n_dup_groups"] >= 1

@@ -17,6 +17,15 @@ def test_config_validates_band_shape():
         DedupConfig(num_perm=100, bands=42, rows_per_band=3)
 
 
+def test_config_validates_mini_sketch_width():
+    # mini_perms > num_perm would read past the minhash array -> NULL packed
+    # words -> the in-join gate silently drops every minhash pair
+    with pytest.raises(ValueError, match="mini_perms"):
+        DedupConfig(num_perm=63, bands=21, rows_per_band=3)
+    # legal when the gate is disabled
+    DedupConfig(num_perm=63, bands=21, rows_per_band=3, mini_max_hamming=0)
+
+
 def test_navalues_matches_reference_list():
     # suricate/preutils/preprocessing.py:208-212 (string members)
     for sentinel in ["#", "n.a.", "#REF!", "#DIV/0!", "NaT", "NULL"]:

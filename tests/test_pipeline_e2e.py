@@ -107,6 +107,59 @@ def test_checkpoint_resume(spark, corpus, cfg, tmp_path):
     assert all(a == "computed" for _, a in ev3)
 
 
+def test_skew_caps_fire_and_recall_holds(spark, cfg, tmp_path):
+    """North-rule skew contract, end to end: on a corpus whose boilerplate
+    cohort EXCEEDS the anchor bucket cap, (a) the candidates-stage manifest
+    reports the dropped mass per method, and (b) planted-truth recall still
+    holds — the caps drop boilerplate collisions, not true duplicates."""
+    from webdedup.synth import generate_pages, pages_to_spark
+
+    # boiler_fraction 0.6 @ 400 docs -> ~240 docs share the boilerplate
+    # header/footer, far above anchor_max_docs=64: the anchor buckets for
+    # the shared chrome MUST be capped
+    pages_pd, truth_pairs, _ = generate_pages(
+        n_docs=400, seed=13, boiler_fraction=0.6
+    )
+    pages = pages_to_spark(spark, pages_pd, partitions=4)
+    out = run_dedup(
+        spark, pages, cfg, checkpoint_dir=str(tmp_path / "ck"), with_golden=False
+    )
+    man = out["_checkpointer"].manifest("candidates")
+    drops = {d["method"]: d for d in man["metrics"]["skew_drops"]}
+    assert set(drops) == {"minhash", "simhash", "substring", "substring_verify"}
+    assert drops["substring"]["dropped_buckets"] > 0, drops
+    assert drops["substring"]["max_dropped_bucket"] > 64, drops
+
+    pred = pairs_from_clusters(out["clusters"])
+    truth = spark.createDataFrame(truth_pairs).select("url_a", "url_b")
+    m = pair_metrics(pred, truth)
+    assert m["recall"] >= 0.99, (m, drops)
+
+
+def test_checkpoint_resume_validates_data(spark, corpus, cfg, tmp_path):
+    """A manifest that survives a corrupted/partial data dir must NOT be
+    resumed: the stage recomputes (trust-but-verify on _SUCCESS + row
+    count)."""
+    import shutil
+    from pathlib import Path
+
+    ck = tmp_path / "ck"
+    run_dedup(spark, corpus["pages"], cfg, checkpoint_dir=str(ck), with_golden=False)
+
+    # corrupt the signatures snapshot: delete data files, keep the manifest
+    data_dir = ck / "signatures" / "data"
+    assert (data_dir / "_SUCCESS").exists()
+    shutil.rmtree(data_dir)
+    (ck / "signatures" / "data").mkdir()
+
+    out = run_dedup(spark, corpus["pages"], cfg, checkpoint_dir=str(ck), with_golden=False)
+    ev = {e["stage"]: e["action"] for e in out["_checkpointer"].events}
+    assert ev["signatures"] == "computed"  # not resumed from the bad snapshot
+    # downstream stages with intact snapshots still resume
+    assert ev["clusters"] == "resumed"
+    assert Path(data_dir, "_SUCCESS").exists()  # snapshot rebuilt
+
+
 def test_ml_decision_path_recall(spark, corpus, cfg):
     """The reference flagship's learned path (pruningpipe.py:59-135 +
     explore/explorer.py:8-172): question-loop label budget -> GBT ->

@@ -114,6 +114,40 @@ def test_incremental_dedup_batches(spark, tmp_path):
             assert len({gids[u] for u in urls}) == 1, urls
 
 
+def test_incremental_epoch_replay_idempotent(spark, tmp_path):
+    """foreachBatch replay contract: re-running the SAME batch with the same
+    epoch_id (crash between state write and stream-checkpoint commit) must
+    leave state row count and assignments unchanged — state is keyed by
+    epoch, not appended."""
+    from webdedup.streaming import process_batch, read_state
+    from webdedup.synth import generate_pages, pages_to_spark
+
+    cfg = DedupConfig()
+    pages_pd, _, _ = generate_pages(n_docs=80, seed=7)
+    sdf = pages_to_spark(spark, pages_pd)
+    state_dir = str(tmp_path / "state")
+
+    b1 = sdf.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    b2 = sdf.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+    n1 = b1.count()
+    process_batch(spark, b1, state_dir, cfg, epoch_id=0).count()
+    a2_first = {
+        (r["url"], r["gid"])
+        for r in process_batch(spark, b2, state_dir, cfg, epoch_id=1).collect()
+    }
+    total = read_state(spark, state_dir).count()
+
+    # replay epoch 1 (same batch, same epoch id)
+    a2_replay = {
+        (r["url"], r["gid"])
+        for r in process_batch(spark, b2, state_dir, cfg, epoch_id=1).collect()
+    }
+    assert a2_replay == a2_first
+    assert read_state(spark, state_dir).count() == total
+    # epoch isolation: reading below epoch 1 sees only batch 1
+    assert read_state(spark, state_dir, before_epoch=1).count() == n1
+
+
 def test_incremental_stream_driver(spark, tmp_path):
     """The Structured Streaming wrapper: file source + foreachBatch, two
     parquet files -> two batches, same state semantics."""

@@ -56,7 +56,13 @@ def test_anchor_selection_alignment_invariant(spark):
         spark,
         [("p1", "AA " + span), ("p2", "BBBBBBB CCCC DDDDD " + span)],
     )
+    from pyspark.sql import functions as F
+
+    dids = {
+        r["url"]: r["did"]
+        for r in pages.select("url", F.xxhash64("url").alias("did")).collect()
+    }
     keys = anchor_keys(pages, cfg).collect()
-    k1 = {r["key_hash"] for r in keys if r["url"] == "p1"}
-    k2 = {r["key_hash"] for r in keys if r["url"] == "p2"}
+    k1 = {r["key_hash"] for r in keys if r["did"] == dids["p1"]}
+    k2 = {r["key_hash"] for r in keys if r["did"] == dids["p2"]}
     assert len(k1 & k2) >= 3  # shared span selects the same gram hashes

@@ -97,6 +97,47 @@ def make_sign_signature_udf(dim: int, n_bits: int = 64, seed: int = 1337):
     return sign_sig
 
 
+def make_portable_sign_signature_udf(dim: int, n_bits: int = 64):
+    """RP-LSH sign signature with ENGINE-INDEPENDENT hyperplanes, for the
+    DuckDB correctness oracle (the production path is the seeded-gaussian
+    make_sign_signature_udf).
+
+    Two portability choices make the sign bit replayable bit-for-bit in any
+    engine, with no float-summation-order hazard:
+      - plane[j][d] = (uint32 of the first 4 md5 bytes of 'rp:<j>:<d>')
+        % 2001 - 1000 — an integer in [-1000, 1000] any SQL engine can
+        rebuild from its md5();
+      - vectors are quantized q = floor(v * 1000): float32 -> float64 is
+        exact, *1000 rounds identically under IEEE-754, floor is exact —
+        so the dot product is INTEGER arithmetic (|sum| < 2^40 for any
+        realistic embedding scale) and sign(q . plane) is deterministic,
+        while a float dot's last-ulp could flip a near-zero sign between
+        engines that sum in different orders.
+    Quantization shifts each hyperplane by < 0.1% — irrelevant to LSH
+    quality (the planes are arbitrary to begin with)."""
+    import hashlib
+
+    planes = np.empty((dim, n_bits), dtype=np.int64)
+    for j in range(n_bits):
+        for d in range(dim):
+            h = int.from_bytes(hashlib.md5(f"rp:{j}:{d}".encode()).digest()[:4], "big")
+            planes[d, j] = h % 2001 - 1000
+
+    @F.pandas_udf(T.LongType())
+    def sign_sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        q = np.floor(mat * 1000.0).astype(np.int64)
+        bits = (q @ planes) > 0  # exact integer dots
+        packed = (bits.astype(np.uint64) << np.arange(n_bits, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.Series(packed.astype(np.int64))
+
+    return sign_sig
+
+
 def _blocks(sig: Column, n_bits: int, n_blocks: int) -> Column:
     width = n_bits // n_blocks
     mask = F.lit((1 << width) - 1)
@@ -115,14 +156,22 @@ def rp_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 1337,
+    planes: str = "gaussian",
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing at least one
     sign-signature block with the query; exact cosine re-rank on candidates.
 
+    planes: 'gaussian' (production, seeded numpy hyperplanes) or 'portable'
+    (md5-derived integer hyperplanes a SQL oracle can replay exactly — see
+    make_portable_sign_signature_udf).
+
     At 100 TB the corpus side is computed once and persisted (the signature
     table is the 'index'); queries probe it with an equi-join on
     (block_idx, block_value) — no cross join ever materializes."""
-    sig_udf = make_sign_signature_udf(dim, n_bits, seed)
+    if planes == "portable":
+        sig_udf = make_portable_sign_signature_udf(dim, n_bits)
+    else:
+        sig_udf = make_sign_signature_udf(dim, n_bits, seed)
 
     def with_blocks(df: DataFrame, prefix: str) -> DataFrame:
         # norm computed once per vector here; downstream re-rank would

@@ -27,6 +27,21 @@ from pyspark.sql import functions as F
 from webdedup.config import DedupConfig
 
 
+# DataFrames persisted by _pairs_from_keys(persist_keys=True) / substring
+# verification.  The persists are needed while the candidate stage computes
+# (the key table feeds 4 consumers inside one job); after the pair list is
+# MATERIALIZED (stage parquet write or persisted-and-counted) the caches are
+# dead weight — release_key_caches() frees them so repeated run_dedup calls
+# or streaming batches in one long-lived session don't accumulate cached
+# blocks for the process lifetime.
+_PERSISTED_KEY_TABLES: list[DataFrame] = []
+
+
+def release_key_caches() -> None:
+    while _PERSISTED_KEY_TABLES:
+        _PERSISTED_KEY_TABLES.pop().unpersist()
+
+
 def bucket_stats(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Two-phase bucket sizing: (key_idx, key_hash, bucket_size).
 
@@ -53,13 +68,24 @@ def _pairs_from_keys(
     persist_keys: bool = False,
     carry_cols: list[str] | None = None,
     pair_filter=None,
+    id_col: str = "url",
 ) -> tuple[DataFrame, DataFrame]:
-    """Self-join within (key_idx, key_hash) buckets -> distinct (url_a, url_b).
+    """Self-join within (key_idx, key_hash) buckets -> distinct
+    ({id_col}_a, {id_col}_b).
 
     Returns (pairs, skew_metrics).  Buckets with bucket_size > max_bucket
     are dropped entirely and accounted in skew_metrics — at web scale these
     are boilerplate/empty-page buckets whose quadratic pair blow-up would
     dominate the job; the substring + exact passes still cover their members.
+
+    id_col: the per-doc identity on the key rows.  Callers should
+    dictionary-encode the url to a 64-bit `did` BEFORE exploding keys (see
+    minhash_candidates): the exploded key table is the job's dominant
+    shuffle payload (bands x docs rows, each carrying the id + gate
+    sketch), and an 8-byte long in place of a ~60-byte url string both
+    shrinks that shuffle and keeps the self-join's sort/hash on fixed-width
+    primitives.  Urls rejoin AFTER the distinct, only for surviving pairs
+    (rejoin_urls).
 
     persist_keys: the key table is scanned up to 4x downstream (bucket
     sizing twice, both sides of the self-join).  When keys derive from a
@@ -73,6 +99,7 @@ def _pairs_from_keys(
         from pyspark import StorageLevel
 
         keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED_KEY_TABLES.append(keys)
     stats = bucket_stats(keys, cfg)
     ok = stats.where(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= max_bucket)
@@ -111,31 +138,65 @@ def _pairs_from_keys(
         # the self-join scans pruned twice; persisting it also stops the
         # bucket-stats agg chain from being recomputed per side
         pruned = pruned.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED_KEY_TABLES.append(pruned)
+    a, b = f"{id_col}_a", f"{id_col}_b"
     left = pruned.select(
         F.col("key_idx"),
         F.col("key_hash"),
-        F.col("url").alias("url_a"),
+        F.col(id_col).alias(a),
         *[F.col(c).alias(f"{c}_a") for c in carry_cols],
     )
     right = pruned.select(
         F.col("key_idx"),
         F.col("key_hash"),
-        F.col("url").alias("url_b"),
+        F.col(id_col).alias(b),
         *[F.col(c).alias(f"{c}_b") for c in carry_cols],
     )
     joined = left.join(right.hint("shuffle_hash"), ["key_idx", "key_hash"]).where(
-        F.col("url_a") < F.col("url_b")
+        F.col(a) < F.col(b)
     )
     if pair_filter is not None:
         # IN-JOIN pair gate: runs in the join stage, before the distinct
         # exchange — a pair dropped here never costs a shuffle byte
         joined = pair_filter(joined)
     pairs = (
-        joined.select("url_a", "url_b")
+        joined.select(a, b)
         .distinct()
         .withColumn("method", F.lit(method))
     )
     return pairs, skew_metrics
+
+
+def doc_ids(docs: DataFrame) -> DataFrame:
+    """(url, did) dictionary: did = xxhash64(url).
+
+    Collision posture (shared with substring.verify_overlaps): a 64-bit
+    birthday collision needs ~5e9 docs for even 50% odds of ONE collision
+    corpus-wide, and its only effect is one spurious candidate pair that
+    the verification features then score on the real texts — acceptable
+    and documented up to 10^12 docs."""
+    return docs.select("url", F.xxhash64("url").alias("did"))
+
+
+def rejoin_urls(pairs_did: DataFrame, ids: DataFrame) -> DataFrame:
+    """(did_a, did_b, ...) -> canonical (url_a, url_b, ...): two narrow
+    hash joins against the (url, did) dictionary, run only for pairs that
+    SURVIVED bucketing + in-join gates + distinct.  least/greatest restores
+    the url_a < url_b canonical order (did order is hash order, not url
+    order).  shuffle_hash pins: both sides are UDF/agg-derived, so the
+    static planner's size estimates are unusable (see _pairs_from_keys)."""
+    extra = [c for c in pairs_did.columns if c not in ("did_a", "did_b")]
+    ia = ids.select(F.col("did").alias("did_a"), F.col("url").alias("_ua"))
+    ib = ids.select(F.col("did").alias("did_b"), F.col("url").alias("_ub"))
+    return (
+        pairs_did.join(ia.hint("shuffle_hash"), "did_a")
+        .join(ib.hint("shuffle_hash"), "did_b")
+        .select(
+            F.least("_ua", "_ub").alias("url_a"),
+            F.greatest("_ua", "_ub").alias("url_b"),
+            *extra,
+        )
+    )
 
 
 def minhash_candidates(
@@ -157,8 +218,13 @@ def minhash_candidates(
     blocking recall at the decision boundary is unaffected.
     """
     use_mini = cfg.mini_max_hamming > 0 and "mini" in signatures.columns
+    # dictionary-encode url -> 64-bit did BEFORE the explode: the band-key
+    # table is bands(42) rows/doc and the job's dominant shuffle payload;
+    # an 8 B long replaces a ~60 B url on every one of them (urls rejoin
+    # below, only for surviving pairs) — measured the biggest lever on the
+    # one-box memory-bandwidth wall at high core counts (BENCH/BASELINE.md)
     keys = signatures.select(
-        "url",
+        F.xxhash64("url").alias("did"),
         *(["mini"] if use_mini else []),
         F.posexplode("bands").alias("key_idx", "key_hash"),
     )
@@ -171,13 +237,15 @@ def minhash_candidates(
         )
         return joined.where(ham <= F.lit(cfg.mini_max_hamming))
 
-    raw, skew = _pairs_from_keys(
+    raw_did, skew = _pairs_from_keys(
         keys,
         cfg,
         "minhash",
         carry_cols=["mini"] if use_mini else None,
         pair_filter=mini_gate if use_mini else None,
+        id_col="did",
     )
+    raw = rejoin_urls(raw_did, doc_ids(signatures))
     if cfg.minhash_prefilter <= 0:
         return raw, skew
     from webdedup.features import minhash_similarity
@@ -208,8 +276,12 @@ def simhash_candidates(
     Pigeonhole: hamming distance <= simhash_max_hamming < simhash_blocks
     guarantees the pair shares at least one block value.
     """
+    # did-encoded key rows (see minhash_candidates): 8 B id + 8 B signature
+    # per exploded block row, urls rejoined only for survivors
     keys = signatures.select(
-        "url", "simhash", F.posexplode("blocks").alias("key_idx", "key_hash")
+        F.xxhash64("url").alias("did"),
+        "simhash",
+        F.posexplode("blocks").alias("key_idx", "key_hash"),
     )
 
     def hamming_gate(joined: DataFrame) -> DataFrame:
@@ -220,9 +292,15 @@ def simhash_candidates(
         ham = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
         return joined.where(ham <= F.lit(cfg.simhash_max_hamming))
 
-    return _pairs_from_keys(
-        keys, cfg, "simhash", carry_cols=["simhash"], pair_filter=hamming_gate
+    pairs_did, skew = _pairs_from_keys(
+        keys,
+        cfg,
+        "simhash",
+        carry_cols=["simhash"],
+        pair_filter=hamming_gate,
+        id_col="did",
     )
+    return rejoin_urls(pairs_did, doc_ids(signatures)), skew
 
 
 def exact_candidates(pages: DataFrame) -> DataFrame:

@@ -93,9 +93,18 @@ class Checkpointer:
         if manifest_path.exists():
             manifest = json.loads(manifest_path.read_text())
             if manifest.get("identity") == identity:
-                self._stage_hashes[name] = identity
-                self.events.append({"stage": name, "action": "resumed"})
-                return self.spark.read.parquet(str(data_dir))
+                # trust-but-verify: the manifest alone can outlive a partial
+                # overwrite of data/ (killed rewrite, manual deletion).  The
+                # snapshot is only resumable if the parquet commit marker
+                # exists AND the row count still matches what the manifest
+                # recorded; otherwise fall through and recompute.
+                if (data_dir / "_SUCCESS").exists():
+                    snap = self.spark.read.parquet(str(data_dir))
+                    if snap.count() == manifest.get("row_count"):
+                        self._stage_hashes[name] = identity
+                        self.events.append({"stage": name, "action": "resumed"})
+                        return snap
+                self.events.append({"stage": name, "action": "invalid_snapshot"})
 
         t0 = time.time()
         df = compute()

@@ -3,8 +3,17 @@
 Maps the reference's sklearn surface (SURVEY §2.8/2.9):
   - Pipeline[SimpleImputer(0), Normalizer, PCA(4), GradientBoosting]
     (tests/pipeindexer/test_pruningpipe.py:49-59, tutorial/main/stepbystep/
-    41-Predict.py:36-41)  ->  ml.Pipeline[VectorAssembler, PCA, GBTClassifier]
-    (imputation already done in feature generation: navalue_score=0)
+    41-Predict.py:36-41)  ->
+    ml.Pipeline[VectorAssembler, Normalizer(p=2), PCA(k=4), GBTClassifier]
+    (imputation already done in feature generation: navalue_score=0).
+    Semantics note: sklearn's PCA mean-centers before projecting while
+    Spark ML's PCA does not; for the downstream GBT (split-point trees,
+    affine-invariant per feature) the decision function is unaffected —
+    the retained structure, an L2-normalized 4-component projection, is
+    the same.
+  - GridSearchCV over the pipeline (tests/fullpipeline/
+    test_connectors_classifiers.py:83-88) -> optional CrossValidator over
+    GBT depth/iterations (cross_validate=True)
   - PartialClf (suricate/pipeline/partialclf.py:7-91): fit only on the
     label-intersected pairs, asserting both classes present
   - PruningPipe assembly (pruningpipe.py:128-135): neg->0, sure->1,
@@ -18,12 +27,6 @@ from pyspark.sql import functions as F
 
 from webdedup.config import DedupConfig
 from webdedup.features import FEATURE_COLS
-
-
-def _assemble(features: DataFrame, cols: list[str]):
-    from pyspark.ml.feature import VectorAssembler
-
-    return VectorAssembler(inputCols=cols, outputCol="fvec").transform(features)
 
 
 def label_candidates(features: DataFrame, truth_pairs: DataFrame) -> DataFrame:
@@ -44,10 +47,26 @@ def fit_classifier(
     label_col: str = "y_true",
     max_iter: int = 30,
     seed: int = 7,
+    pca_k: int = 4,
+    cross_validate: bool = False,
+    cv_folds: int = 3,
 ):
-    """Fit the GBT match classifier on labeled pairs (PartialClf semantics:
-    caller passes only the labeled subset; both classes must be present)."""
+    """Fit the match classifier on labeled pairs (PartialClf semantics:
+    caller passes only the labeled subset; both classes must be present).
+
+    The model is the reference flagship's full preprocessing pipeline
+    (test_pruningpipe.py:49-59): assemble -> L2 Normalizer -> PCA(k=4) ->
+    GBT, as one ml.PipelineModel whose transform() runs every stage.
+    pca_k=0 disables the Normalizer+PCA stages (raw-feature GBT).
+    cross_validate=True wraps the pipeline in a CrossValidator over GBT
+    depth {3,5} x maxIter {max_iter//2, max_iter} (the GridSearchCV
+    equivalent, test_connectors_classifiers.py:83-88) and returns the
+    best model; the labeled set must be large enough that every fold
+    keeps both classes.
+    """
+    from pyspark.ml import Pipeline
     from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.feature import PCA, Normalizer, VectorAssembler
 
     cols = feature_cols or FEATURE_COLS
     n_classes = labeled.select(F.countDistinct(label_col).alias("n")).first()["n"]
@@ -56,27 +75,62 @@ def fit_classifier(
             "training labels contain a single class "
             "(PartialClf assertion, suricate/pipeline/partialclf.py:60-66)"
         )
-    train = _assemble(labeled, cols)
+    stages: list = [VectorAssembler(inputCols=cols, outputCol="fvec_raw")]
+    last = "fvec_raw"
+    if pca_k > 0:
+        stages.append(Normalizer(inputCol=last, outputCol="fvec_norm", p=2.0))
+        stages.append(
+            PCA(k=min(pca_k, len(cols)), inputCol="fvec_norm", outputCol="fvec_pca")
+        )
+        last = "fvec_pca"
     gbt = GBTClassifier(
-        featuresCol="fvec",
+        featuresCol=last,
         labelCol=label_col,
         maxIter=max_iter,
         maxDepth=5,
         seed=seed,
     )
-    return gbt.fit(train)
+    stages.append(gbt)
+    pipe = Pipeline(stages=stages)
+    if not cross_validate:
+        return pipe.fit(labeled)
+
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    grid = (
+        ParamGridBuilder()
+        .addGrid(gbt.maxDepth, [3, 5])
+        .addGrid(gbt.maxIter, sorted({max(1, max_iter // 2), max_iter}))
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=BinaryClassificationEvaluator(labelCol=label_col),
+        numFolds=cv_folds,
+        seed=seed,
+        parallelism=4,
+    )
+    return cv.fit(labeled).bestModel
+
+
+_MODEL_WORK_COLS = [
+    "fvec_raw", "fvec_norm", "fvec_pca", "rawPrediction", "probability", "prediction",
+]
 
 
 def predict_pairs(model, features: DataFrame, feature_cols: list[str] | None = None) -> DataFrame:
-    """Score pairs with the fitted model: adds y_pred (0/1) and y_proba."""
+    """Score pairs with the fitted PipelineModel: adds y_pred (0/1) and
+    y_proba.  feature_cols is accepted for signature compatibility; the
+    pipeline's own VectorAssembler fixes the columns at fit time."""
     from pyspark.ml.functions import vector_to_array
 
-    cols = feature_cols or FEATURE_COLS
-    scored = model.transform(_assemble(features, cols))
-    return scored.withColumn(
-        "y_proba", vector_to_array("probability").getItem(1)
-    ).withColumn("y_pred", F.col("prediction").cast("int")).drop(
-        "fvec", "rawPrediction", "probability", "prediction"
+    scored = model.transform(features)
+    return (
+        scored.withColumn("y_proba", vector_to_array("probability").getItem(1))
+        .withColumn("y_pred", F.col("prediction").cast("int"))
+        .drop(*[c for c in _MODEL_WORK_COLS if c in scored.columns])
     )
 
 

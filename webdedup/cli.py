@@ -71,7 +71,18 @@ def cmd_run(args: argparse.Namespace) -> None:
 
     cfg = DedupConfig(**json.loads(args.config)) if args.config else DedupConfig()
     pages = spark.read.parquet(args.input)
-    out = run_dedup(spark, pages, cfg, checkpoint_dir=args.checkpoint)
+    if args.decision == "ml" and not args.truth:
+        raise SystemExit("--decision ml requires --truth (labeled-pairs parquet)")
+    truth = spark.read.parquet(args.truth) if args.truth else None
+    out = run_dedup(
+        spark,
+        pages,
+        cfg,
+        checkpoint_dir=args.checkpoint,
+        decision=args.decision,
+        truth_pairs=truth.select("url_a", "url_b") if truth is not None else None,
+        n_questions=args.n_questions,
+    )
     out["clusters"].write.mode("overwrite").parquet(f"{args.output}/clusters")
     if "golden" in out:
         out["golden"].write.mode("overwrite").parquet(f"{args.output}/golden")
@@ -110,6 +121,25 @@ def main(argv: list[str] | None = None) -> None:
     pr.add_argument("--output", required=True)
     pr.add_argument("--checkpoint", default=None)
     pr.add_argument("--config", default=None, help="JSON dict of DedupConfig overrides")
+    pr.add_argument(
+        "--decision",
+        choices=["rule", "ml"],
+        default="rule",
+        help="decision stage: triage rule (default) or the learned "
+        "question-loop -> GBT path (requires --truth)",
+    )
+    pr.add_argument(
+        "--truth",
+        default=None,
+        help="parquet of labeled match pairs (url_a, url_b) — the 'human "
+        "labeler' for --decision ml (synth emits one at <out>/truth_pairs)",
+    )
+    pr.add_argument(
+        "--n-questions",
+        type=int,
+        default=20,
+        help="label budget per question round (Explorer ask-loop size)",
+    )
     pr.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
     pr.set_defaults(fn=cmd_run)
 

@@ -118,6 +118,16 @@ class DedupConfig:
                 f"num_perm ({self.num_perm}) must equal bands*rows_per_band "
                 f"({self.bands}*{self.rows_per_band})"
             )
+        # mini_sketch reads minhash[0:mini_perms]: a mini_perms > num_perm
+        # would silently pack NULL words, making the in-join hamming gate
+        # NULL and dropping EVERY minhash candidate pair (total blocking-
+        # recall loss with no error) — reject the config up front.
+        if self.mini_max_hamming > 0 and self.mini_perms > self.num_perm:
+            raise ValueError(
+                f"mini_perms ({self.mini_perms}) must be <= num_perm "
+                f"({self.num_perm}): the mini sketch is a prefix of the "
+                "minhash signature"
+            )
 
     def config_hash(self) -> str:
         """Stable hash of every semantic knob; stamped into stage manifests."""

@@ -349,7 +349,11 @@ FEATURE_COLS = [
 
 
 def compute_features(
-    pairs: DataFrame, docs: DataFrame, cfg: DedupConfig, ratios_for: str = "all"
+    pairs: DataFrame,
+    docs: DataFrame,
+    cfg: DedupConfig,
+    ratios_for: str = "all",
+    n_pairs: int | None = None,
 ) -> DataFrame:
     """Candidate pairs -> feature table (url_a, url_b, methods?, f_1..f_k).
 
@@ -365,6 +369,10 @@ def compute_features(
     own pruning semantics (PruningPipe scores only mixed pairs with the
     row-apply comparators, suricate/pipeline/pruningpipe.py:102-107).
     Excluded pairs carry navalue_score 0.0 in the ratio columns.
+
+    n_pairs: pair count if the caller already knows it (stage manifest /
+    persisted count) — sizes the scoring repartition without an extra job.
+    None -> counted here (cheap when pairs is persisted/snapshot-backed).
     """
     doc_cols = ["text", "lang", "shingles", "mini", "simhash"]
     # CPU-parallelism guard: candidate-pair rows are tiny (two urls + method
@@ -372,9 +380,16 @@ def compute_features(
     # and the docs join is usually a broadcast (no reshuffle) — which would
     # run the CPU-bound ratio UDFs nearly serially.  Hash-repartitioning the
     # pair list by url_a costs one shuffle of a few MB and pins the scoring
-    # stage at full core count (measured 3x on the 8k-doc corpus).
+    # stage at full core count (measured 3x on the 8k-doc corpus).  The
+    # width SCALES WITH THE PAIR COUNT: a fixed 2x-parallelism width put a
+    # 1.4k-pair table in 64 near-empty partitions, paying a scheduler round
+    # + python-worker wakeup per partition for microseconds of work each
+    # (part of the sf0.1 flagship regression, VERDICT r2 #2).
     sc = pairs.sparkSession.sparkContext
-    pairs = pairs.repartition(sc.defaultParallelism * 2, "url_a", "url_b")
+    if n_pairs is None:
+        n_pairs = pairs.count()
+    width = max(1, min(2 * sc.defaultParallelism, -(-n_pairs // 1024)))
+    pairs = pairs.repartition(width, "url_a", "url_b")
     sbs = build_sbs(pairs, docs, doc_cols)
     # token sets derived in the same JVM stage (no extra shuffle)
     sbs = sbs.withColumn("toks_source", token_set(F.col("text_source"))).withColumn(

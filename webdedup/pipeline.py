@@ -84,25 +84,52 @@ def run_dedup(
     ).drop("part")
 
     # -- 2. candidates (four sources, provenance-tagged) ---------------------
+    skew_sources: list[DataFrame] = []
+
     def build_candidates() -> DataFrame:
         mh_pairs, mh_skew = cand.minhash_candidates(signatures, cfg)
         sh_pairs, sh_skew = cand.simhash_candidates(signatures, cfg)
         ex_pairs = cand.exact_candidates(pages)
+        skew_sources[:] = [mh_skew, sh_skew]
         sources = [mh_pairs, sh_pairs, ex_pairs]
         if with_substring:
             ss_pairs, ss_skew = sub.substring_candidates(pages, cfg)
-            verified = sub.verify_overlaps(ss_pairs, pages, cfg)
+            verified, verify_skew = sub.verify_overlaps(
+                ss_pairs, pages, cfg, with_metrics=True
+            )
+            skew_sources.extend([ss_skew, verify_skew])
             sources.append(
                 verified.select("url_a", "url_b").withColumn("method", F.lit("substring"))
             )
         return cand.union_candidates(*sources)
+
+    def candidate_metrics(_out: DataFrame) -> dict:
+        """Per-method dropped skew mass -> the stage manifest, so a run can
+        audit what the bucket caps cost (north rule: capped mass is
+        reported, never silent).  One tiny union job over the 1-row skew
+        aggregates; the key tables feeding them are still cached here."""
+        if not skew_sources:
+            return {}
+        from functools import reduce
+
+        union = reduce(lambda a, b: a.unionByName(b), skew_sources)
+        return {"skew_drops": [r.asDict() for r in union.collect()]}
 
     pairs = staged(
         "candidates",
         lambda: _with_part(build_candidates(), "url_a"),
         parents=["signatures"],
         partition_by=["part"] if ckpt else None,
+        metrics=candidate_metrics if ckpt else None,
     ).drop("part")
+
+    # pair count: free from the stage manifest when checkpointed, else one
+    # count that also MATERIALIZES the persisted pair list — after which the
+    # key-table caches inside the candidate sources are dead weight
+    n_pairs = (
+        ckpt.manifest("candidates")["row_count"] if ckpt else pairs.count()
+    )
+    cand.release_key_caches()
 
     # -- 3. features ----------------------------------------------------------
     docs = pages.select("url", "text", "lang").join(
@@ -113,7 +140,7 @@ def run_dedup(
     # with the apply comparators, pruningpipe.py:102-107)
     features = staged(
         "features",
-        lambda: compute_features(pairs, docs, cfg, ratios_for="mixed"),
+        lambda: compute_features(pairs, docs, cfg, ratios_for="mixed", n_pairs=n_pairs),
         parents=["candidates"],
     )
 
@@ -121,15 +148,20 @@ def run_dedup(
     if decision == "ml":
         from webdedup.classify import run_ml_decision
 
+        # decision mode + budget + the LABEL CONTENT are the stage identity:
+        # a rule-decisions checkpoint must never resume as ml output, and a
+        # re-run with different truth labels (same pages, same dir) must not
+        # resume decisions trained on the old labels
+        truth_fp = (
+            input_fingerprint(truth_pairs, ["url_a", "url_b"]) if ckpt else ""
+        )
         decided = staged(
             "decisions",
             lambda: run_ml_decision(
                 features, truth_pairs, cfg, n_questions=n_questions
             ),
             parents=["features"],
-            # decision mode + budget are part of the stage identity — a
-            # rule-decisions checkpoint must never be resumed as ml output
-            extra=f":decision=ml:q={n_questions}",
+            extra=f":decision=ml:q={n_questions}:truth={truth_fp}",
         )
     else:
         decided = staged(

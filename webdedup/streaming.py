@@ -31,11 +31,31 @@ def _state_path(state_dir: str) -> Path:
     return Path(state_dir) / "state"
 
 
-def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+def _committed_epochs(state_dir: str) -> list[int]:
     p = _state_path(state_dir)
-    if not (p / "_SUCCESS").exists():
+    return sorted(
+        int(d.name.split("=", 1)[1])
+        for d in p.glob("epoch=*")
+        if (d / "_SUCCESS").exists()
+    )
+
+
+def read_state(
+    spark: SparkSession, state_dir: str, before_epoch: int | None = None
+) -> DataFrame | None:
+    """Union of all committed epoch snapshots (< before_epoch if given).
+
+    State is one parquet directory PER EPOCH, each with its own _SUCCESS
+    commit marker — a crashed/replayed batch can never half-append into an
+    already-committed epoch (the epoch-idempotency contract; see
+    process_batch).  Uncommitted (markerless) directories are ignored."""
+    epochs = _committed_epochs(state_dir)
+    if before_epoch is not None:
+        epochs = [e for e in epochs if e < before_epoch]
+    if not epochs:
         return None
-    return spark.read.parquet(str(p))
+    p = _state_path(state_dir)
+    return spark.read.parquet(*[str(p / f"epoch={e}") for e in epochs])
 
 
 def _match_against(
@@ -73,15 +93,26 @@ def process_batch(
     batch: DataFrame,
     state_dir: str,
     cfg: DedupConfig,
+    epoch_id: int | None = None,
 ) -> DataFrame:
-    """One launchdedupe round: assign every batch row a gid, append state.
+    """One launchdedupe round: assign every batch row a gid, commit state
+    for this epoch.  Returns the batch assignment (url, gid).
 
-    Returns the batch assignment (url, gid)."""
+    EPOCH-IDEMPOTENT: state is written to state/epoch=<epoch_id> with
+    mode=overwrite, and the reference set this batch matches against is
+    the union of epochs STRICTLY BELOW epoch_id — so a foreachBatch replay
+    after a crash between the state write and the stream-checkpoint commit
+    recomputes the identical assignment and overwrites the identical epoch
+    directory instead of double-appending rows.  Callers outside streaming
+    may omit epoch_id (auto: next uncommitted epoch)."""
     from webdedup.candidates import minhash_candidates
     from webdedup.cluster import connected_components
 
+    if epoch_id is None:
+        committed = _committed_epochs(state_dir)
+        epoch_id = (committed[-1] + 1) if committed else 0
     sigs = compute_signatures(batch, cfg).persist()
-    state = read_state(spark, state_dir)
+    state = read_state(spark, state_dir, before_epoch=epoch_id)
 
     # 1. batch-internal grouping (new records may duplicate each other)
     internal_pairs, _ = minhash_candidates(sigs, cfg)
@@ -132,12 +163,10 @@ def process_batch(
     )
 
     new_state = sigs.select("url", "shingles", "bands").join(assigned, "url")
-    p = _state_path(state_dir)
-    if state is not None:
-        # append-only state table (url is unique per batch stream)
-        new_state.write.mode("append").parquet(str(p))
-    else:
-        new_state.write.mode("overwrite").parquet(str(p))
+    # one directory per epoch, overwrite-on-replay (idempotent commit)
+    new_state.write.mode("overwrite").parquet(
+        str(_state_path(state_dir) / f"epoch={epoch_id}")
+    )
     sigs.unpersist()
     return assigned
 
@@ -165,7 +194,7 @@ def run_incremental(
     )
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        process_batch(spark, batch_df, state_dir, cfg)
+        process_batch(spark, batch_df, state_dir, cfg, epoch_id=epoch_id)
 
     return (
         stream.writeStream.foreachBatch(handle)

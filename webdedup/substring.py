@@ -100,7 +100,10 @@ def make_gram_hash_udf(g: int, sel: int):
 
 
 def anchor_keys(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Content-defined anchors as (url, key_idx=0, key_hash) rows.
+    """Content-defined anchors as (did, key_idx=0, key_hash) rows — did is
+    the 64-bit url dictionary id (candidates.doc_ids), so the anchor
+    explode (the densest key table in the engine: one row per selected
+    window) shuffles 8 B ids instead of url strings.
 
     Anchor = anchor_len-byte window whose rolling hash ≡ 0 (mod
     anchor_stride) — a Winnowing-style (Schleimer et al., SIGMOD 2003)
@@ -109,7 +112,10 @@ def anchor_keys(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     """
     udf = make_gram_hash_udf(cfg.anchor_len, cfg.anchor_stride)
     return (
-        pages.select("url", F.explode(udf(F.col("text"))).alias("key_hash"))
+        pages.select(
+            F.xxhash64("url").alias("did"),
+            F.explode(udf(F.col("text"))).alias("key_hash"),
+        )
         .withColumn("key_idx", F.lit(0))
     )
 
@@ -118,23 +124,38 @@ def substring_candidates(
     pages: DataFrame, cfg: DedupConfig
 ) -> tuple[DataFrame, DataFrame]:
     """(pairs(url_a, url_b, method='substring'), skew_metrics)."""
+    from webdedup.candidates import doc_ids, rejoin_urls
+
     keys = anchor_keys(pages, cfg)
     # persist_keys: the anchor scan is a pandas-UDF pass over the full
     # corpus; without the persist it re-executes once per downstream
     # consumer (measured as the bulk of a 63s sf0.1 query).
-    return _pairs_from_keys(
-        keys, cfg, "substring", max_bucket=cfg.anchor_max_docs, persist_keys=True
+    pairs_did, skew = _pairs_from_keys(
+        keys,
+        cfg,
+        "substring",
+        max_bucket=cfg.anchor_max_docs,
+        persist_keys=True,
+        id_col="did",
     )
+    return rejoin_urls(pairs_did, doc_ids(pages)), skew
 
 
 def verify_overlaps(
-    pairs: DataFrame, pages: DataFrame, cfg: DedupConfig
+    pairs: DataFrame, pages: DataFrame, cfg: DedupConfig, with_metrics: bool = False
 ) -> DataFrame:
     """Keep pairs sharing at least one exact min_overlap_chars-char substring.
 
     Returns (url_a, url_b, n_shared_grams); n_shared_grams >= 1 certifies a
     common substring of length >= min_overlap_chars (each shared dense-gram
-    hash is one aligned exact window).
+    hash is one aligned exact window).  with_metrics=True returns
+    (verified, skew_metrics) where skew_metrics accounts the gram buckets
+    dropped by the verify_max_docs cap (same schema as the candidate-side
+    skew metrics) — the capped mass is REPORTED, never silently truncated.
+    Mixed-hotness caveat: a pair admitted via a rare anchor whose only
+    >=min_overlap_chars shared span is hotter than verify_max_docs loses
+    its certificate here; the dropped-bucket metrics are how a run audits
+    that exposure (see the candidates-stage manifest).
 
     Plan shape: the dense grams of candidate-pair MEMBER docs are exploded to
     (doc_id, gram) rows and self-joined within gram buckets, then the
@@ -172,11 +193,21 @@ def verify_overlaps(
     # bucket-size gate as a window count: one shuffle on gram (reused by the
     # self-join below), no second aggregate-and-join pass over the UDF output
     w = Window.partitionBy("gram")
-    shared = (
-        grams.withColumn("d", F.count(F.lit(1)).over(w))
-        .where((F.col("d") >= 2) & (F.col("d") <= cfg.verify_max_docs))
-        .drop("d")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sized = grams.withColumn("d", F.count(F.lit(1)).over(w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    from webdedup.candidates import _PERSISTED_KEY_TABLES
+
+    _PERSISTED_KEY_TABLES.append(sized)
+    shared = sized.where(
+        (F.col("d") >= 2) & (F.col("d") <= cfg.verify_max_docs)
+    ).drop("d")
+    dropped = sized.where(F.col("d") > cfg.verify_max_docs)
+    skew_metrics = dropped.agg(
+        F.lit("substring_verify").alias("method"),
+        F.coalesce(F.count_distinct("gram"), F.lit(0)).alias("dropped_buckets"),
+        F.count(F.lit(1)).alias("dropped_rows"),
+        F.coalesce(F.max("d"), F.lit(0)).alias("max_dropped_bucket"),
     )
     a = shared.select("gram", F.col("did").alias("did_lo"))
     b = shared.select("gram", F.col("did").alias("did_hi"))
@@ -196,6 +227,9 @@ def verify_overlaps(
         F.least(h_a, h_b).alias("did_lo"),
         F.greatest(h_a, h_b).alias("did_hi"),
     )
-    return pk.join(counts, ["did_lo", "did_hi"]).select(
+    verified = pk.join(counts, ["did_lo", "did_hi"]).select(
         "url_a", "url_b", "n_shared_grams"
     )
+    if with_metrics:
+        return verified, skew_metrics
+    return verified
