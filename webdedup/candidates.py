@@ -200,7 +200,7 @@ def rejoin_urls(pairs_did: DataFrame, ids: DataFrame) -> DataFrame:
 
 
 def minhash_candidates(
-    signatures: DataFrame, cfg: DedupConfig
+    signatures: DataFrame, cfg: DedupConfig, did_pairs: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """LSH band-bucket candidates from the `bands` column, prefiltered by
     the MinHash similarity estimate.
@@ -245,6 +245,12 @@ def minhash_candidates(
         pair_filter=mini_gate if use_mini else None,
         id_col="did",
     )
+    if did_pairs and cfg.minhash_prefilter <= 0:
+        # did-space output: the pipeline unions all sources in did space and
+        # rejoins urls ONCE after the union dedup (two joins total instead
+        # of two per source — join count is pure fixed overhead at small
+        # scale and extra exchanges at large)
+        return raw_did, skew
     raw = rejoin_urls(raw_did, doc_ids(signatures))
     if cfg.minhash_prefilter <= 0:
         return raw, skew
@@ -269,7 +275,7 @@ def minhash_candidates(
 
 
 def simhash_candidates(
-    signatures: DataFrame, cfg: DedupConfig
+    signatures: DataFrame, cfg: DedupConfig, did_pairs: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """SimHash prefix-block candidates, hamming-filtered JVM-side.
 
@@ -300,15 +306,20 @@ def simhash_candidates(
         pair_filter=hamming_gate,
         id_col="did",
     )
+    if did_pairs:
+        return pairs_did, skew
     return rejoin_urls(pairs_did, doc_ids(signatures)), skew
 
 
-def exact_candidates(pages: DataFrame) -> DataFrame:
+def exact_candidates(pages: DataFrame, did_pairs: bool = False) -> DataFrame:
     """Exact-duplicate pairs via text-hash grouping (the hash-groupBy dedup).
 
     Pairs each doc in a hash group with the group's minimum url — linear in
     group size (a star, not a clique); connected components restores the
-    full group downstream.
+    full group downstream.  did_pairs=True projects the star edges to
+    (did_a, did_b) for the pipeline's did-space union (the star root stays
+    the min-URL doc; only the encoding changes, so components — and the
+    min-url gids CC derives — are identical).
     """
     hashed = pages.select(
         "url", F.xxhash64(F.coalesce(F.col("text"), F.lit(""))).alias("text_hash")
@@ -319,20 +330,31 @@ def exact_candidates(pages: DataFrame) -> DataFrame:
     # keeper is corpus-sized (one row per distinct text) — the shuffle_hash
     # pin keeps the planner from broadcasting it off a bad agg-output
     # estimate, and reuses the groupBy's text_hash exchange without a sort
-    return (
+    out = (
         hashed.join(keeper.where(F.col("n") >= 2).hint("shuffle_hash"), "text_hash")
         .where(F.col("url") != F.col("url_a"))
         .select("url_a", F.col("url").alias("url_b"))
         .withColumn("method", F.lit("exact"))
     )
+    if did_pairs:
+        h_a, h_b = F.xxhash64("url_a"), F.xxhash64("url_b")
+        out = out.select(
+            F.least(h_a, h_b).alias("did_a"),
+            F.greatest(h_a, h_b).alias("did_b"),
+            "method",
+        )
+    return out
 
 
 def union_candidates(*sources: DataFrame) -> DataFrame:
-    """Union candidate sources, collecting per-pair provenance methods."""
+    """Union candidate sources, collecting per-pair provenance methods.
+    Works in either key space: (url_a, url_b) or did-encoded (did_a, did_b)
+    — the pipeline unions in did space and rejoins urls once afterwards."""
     unioned = sources[0]
     for s in sources[1:]:
         unioned = unioned.unionByName(s)
-    return unioned.groupBy("url_a", "url_b").agg(
+    keys = ["did_a", "did_b"] if "did_a" in unioned.columns else ["url_a", "url_b"]
+    return unioned.groupBy(*keys).agg(
         F.sort_array(F.collect_set("method")).alias("methods")
     )
 

@@ -87,21 +87,27 @@ def run_dedup(
     skew_sources: list[DataFrame] = []
 
     def build_candidates() -> DataFrame:
-        mh_pairs, mh_skew = cand.minhash_candidates(signatures, cfg)
-        sh_pairs, sh_skew = cand.simhash_candidates(signatures, cfg)
-        ex_pairs = cand.exact_candidates(pages)
+        # all sources in did space; urls rejoin ONCE after the union dedup
+        # (two joins total, vs two per source — see candidates.rejoin_urls)
+        mh_pairs, mh_skew = cand.minhash_candidates(signatures, cfg, did_pairs=True)
+        sh_pairs, sh_skew = cand.simhash_candidates(signatures, cfg, did_pairs=True)
+        ex_pairs = cand.exact_candidates(pages, did_pairs=True)
         skew_sources[:] = [mh_skew, sh_skew]
         sources = [mh_pairs, sh_pairs, ex_pairs]
         if with_substring:
-            ss_pairs, ss_skew = sub.substring_candidates(pages, cfg)
+            ss_pairs, ss_skew = sub.substring_candidates(pages, cfg, did_pairs=True)
             verified, verify_skew = sub.verify_overlaps(
                 ss_pairs, pages, cfg, with_metrics=True
             )
             skew_sources.extend([ss_skew, verify_skew])
             sources.append(
-                verified.select("url_a", "url_b").withColumn("method", F.lit("substring"))
+                verified.select("did_a", "did_b").withColumn(
+                    "method", F.lit("substring")
+                )
             )
-        return cand.union_candidates(*sources)
+        return cand.rejoin_urls(
+            cand.union_candidates(*sources), cand.doc_ids(pages)
+        )
 
     def candidate_metrics(_out: DataFrame) -> dict:
         """Per-method dropped skew mass -> the stage manifest, so a run can

@@ -121,9 +121,11 @@ def anchor_keys(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def substring_candidates(
-    pages: DataFrame, cfg: DedupConfig
+    pages: DataFrame, cfg: DedupConfig, did_pairs: bool = False
 ) -> tuple[DataFrame, DataFrame]:
-    """(pairs(url_a, url_b, method='substring'), skew_metrics)."""
+    """(pairs(url_a, url_b, method='substring'), skew_metrics).
+    did_pairs=True keeps the pairs did-encoded (did_a, did_b) for the
+    pipeline's single post-union rejoin; verify_overlaps accepts both."""
     from webdedup.candidates import doc_ids, rejoin_urls
 
     keys = anchor_keys(pages, cfg)
@@ -138,6 +140,8 @@ def substring_candidates(
         persist_keys=True,
         id_col="did",
     )
+    if did_pairs:
+        return pairs_did, skew
     return rejoin_urls(pairs_did, doc_ids(pages)), skew
 
 
@@ -148,7 +152,9 @@ def verify_overlaps(
 
     Returns (url_a, url_b, n_shared_grams); n_shared_grams >= 1 certifies a
     common substring of length >= min_overlap_chars (each shared dense-gram
-    hash is one aligned exact window).  with_metrics=True returns
+    hash is one aligned exact window).  Accepts url pairs (url_a, url_b) or
+    did pairs (did_a, did_b — candidates.doc_ids encoding) and returns the
+    matching key columns.  with_metrics=True returns
     (verified, skew_metrics) where skew_metrics accounts the gram buckets
     dropped by the verify_max_docs cap (same schema as the candidate-side
     skew metrics) — the capped mass is REPORTED, never silently truncated.
@@ -175,13 +181,25 @@ def verify_overlaps(
     """
     from pyspark import StorageLevel
 
-    p = pairs.select("url_a", "url_b")
-    members = (
-        p.select(F.col("url_a").alias("url"))
-        .unionByName(p.select(F.col("url_b").alias("url")))
-        .distinct()
-    )
-    docs = pages.join(members, "url", "left_semi")
+    did_space = "did_a" in pairs.columns
+    if did_space:
+        p = pairs.select("did_a", "did_b")
+        members = (
+            p.select(F.col("did_a").alias("m_did"))
+            .unionByName(p.select(F.col("did_b").alias("m_did")))
+            .distinct()
+        )
+        docs = pages.join(
+            members, F.xxhash64("url") == F.col("m_did"), "left_semi"
+        )
+    else:
+        p = pairs.select("url_a", "url_b")
+        members = (
+            p.select(F.col("url_a").alias("url"))
+            .unionByName(p.select(F.col("url_b").alias("url")))
+            .distinct()
+        )
+        docs = pages.join(members, "url", "left_semi")
     udf = make_gram_hash_udf(cfg.min_overlap_chars, 1)
     grams = docs.select(
         # compact 64-bit doc id: the self-join + count shuffle then moves
@@ -220,16 +238,24 @@ def verify_overlaps(
         .groupBy("did_lo", "did_hi")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
-    h_a, h_b = F.xxhash64("url_a"), F.xxhash64("url_b")
-    pk = p.select(
-        "url_a",
-        "url_b",
-        F.least(h_a, h_b).alias("did_lo"),
-        F.greatest(h_a, h_b).alias("did_hi"),
-    )
-    verified = pk.join(counts, ["did_lo", "did_hi"]).select(
-        "url_a", "url_b", "n_shared_grams"
-    )
+    if did_space:
+        # did pairs are already canonical (did_a < did_b from the bucket
+        # self-join) — join the shared-gram counts directly
+        verified = p.join(
+            counts,
+            (p["did_a"] == counts["did_lo"]) & (p["did_b"] == counts["did_hi"]),
+        ).select("did_a", "did_b", "n_shared_grams")
+    else:
+        h_a, h_b = F.xxhash64("url_a"), F.xxhash64("url_b")
+        pk = p.select(
+            "url_a",
+            "url_b",
+            F.least(h_a, h_b).alias("did_lo"),
+            F.greatest(h_a, h_b).alias("did_hi"),
+        )
+        verified = pk.join(counts, ["did_lo", "did_hi"]).select(
+            "url_a", "url_b", "n_shared_grams"
+        )
     if with_metrics:
         return verified, skew_metrics
     return verified
