@@ -245,33 +245,34 @@ def minhash_candidates(
         pair_filter=mini_gate if use_mini else None,
         id_col="did",
     )
-    if did_pairs and cfg.minhash_prefilter <= 0:
+    if cfg.minhash_prefilter > 0:
+        # optional post-hoc full-signature prefilter, computed in did space
+        # so both output modes stay consistent
+        from webdedup.features import minhash_similarity
+
+        sig = signatures.select(F.xxhash64("url").alias("did"), "minhash")
+        a = sig.select(F.col("did").alias("did_a"), F.col("minhash").alias("mh_a"))
+        b = sig.select(F.col("did").alias("did_b"), F.col("minhash").alias("mh_b"))
+        # merge hints: the signature side carries 1 KB arrays the static
+        # planner under-estimates (UDF-derived) — never let it become a
+        # broadcast build side (see substring.verify_overlaps for the
+        # measured failure mode)
+        raw_did = (
+            raw_did.join(a.hint("merge"), "did_a")
+            .join(b.hint("merge"), "did_b")
+            .where(
+                minhash_similarity(F.col("mh_a"), F.col("mh_b"), cfg.num_perm)
+                >= F.lit(cfg.minhash_prefilter)
+            )
+            .select("did_a", "did_b", "method")
+        )
+    if did_pairs:
         # did-space output: the pipeline unions all sources in did space and
         # rejoins urls ONCE after the union dedup (two joins total instead
         # of two per source — join count is pure fixed overhead at small
         # scale and extra exchanges at large)
         return raw_did, skew
-    raw = rejoin_urls(raw_did, doc_ids(signatures))
-    if cfg.minhash_prefilter <= 0:
-        return raw, skew
-    from webdedup.features import minhash_similarity
-
-    sig = signatures.select("url", "minhash")
-    a = sig.select(F.col("url").alias("url_a"), F.col("minhash").alias("mh_a"))
-    b = sig.select(F.col("url").alias("url_b"), F.col("minhash").alias("mh_b"))
-    # merge hints: the signature side carries 1 KB arrays the static planner
-    # under-estimates (UDF-derived) — never let it become a broadcast build
-    # side (see substring.verify_overlaps for the measured failure mode)
-    filtered = (
-        raw.join(a.hint("merge"), "url_a")
-        .join(b.hint("merge"), "url_b")
-        .where(
-            minhash_similarity(F.col("mh_a"), F.col("mh_b"), cfg.num_perm)
-            >= F.lit(cfg.minhash_prefilter)
-        )
-        .select("url_a", "url_b", "method")
-    )
-    return filtered, skew
+    return rejoin_urls(raw_did, doc_ids(signatures)), skew
 
 
 def simhash_candidates(
