@@ -489,11 +489,15 @@ def q_substring_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webdedup.config import DedupConfig
     from webdedup.substring import substring_candidates, verify_overlaps
 
+    from webdedup.candidates import doc_ids, rejoin_urls
+
     cfg = DedupConfig(min_overlap_chars=120)
     docs = _read(spark, sf_dir, "documents")
     pages = _docs_as_pages(docs)
-    pairs, _ = substring_candidates(pages, cfg)
-    return verify_overlaps(pairs, pages, cfg).orderBy("url_a", "url_b")
+    # did space end-to-end, one url rejoin for the verified survivors
+    pairs, _ = substring_candidates(pages, cfg, did_pairs=True)
+    verified = verify_overlaps(pairs, pages, cfg)
+    return rejoin_urls(verified, doc_ids(pages)).orderBy("url_a", "url_b")
 
 
 def q_explain_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
