@@ -343,6 +343,22 @@ def q_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round("cosine", 4)).orderBy("query_id", "rank")
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-file (IVF-Flat) approximate top-k — the cell-partitioned
+    scale path of similarity search (webdedup.ann.ivf_topk).  Driver variant
+    uses PORTABLE centroids (md5-sampled corpus vectors + floor-quantized
+    integer L2, ann.portable_centroids) so the DuckDB oracle replays the
+    FULL algorithm — centroid choice, cell assignment, n_probe cell probing,
+    cosine re-rank — bit-for-bit; the production KMeans-trained path is
+    recall-asserted in tests/test_ann_multimodal.py."""
+    from webdedup.ann import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4, centroids="portable")
+    return out.withColumn("cosine", F.round("cosine", 4)).orderBy("query_id", "rank")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: magic-byte sniff + stubbed decode/feature-extract
     over binary payloads (non-SQL: mapInPandas)."""
@@ -623,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_rp_lsh": q_ann_rp_lsh,
+        "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
         "pricing_summary": q_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
@@ -1076,6 +1093,61 @@ def oracle_sql() -> dict[str, str]:
               FROM cand c
               JOIN e a ON a.vec_id = c.query_id
               JOIN e b ON b.vec_id = c.neighbor_id
+            )
+            SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine FROM (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored
+            ) WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # full IVF replay: md5-sampled centroids -> integer-L2 cell
+        # assignment -> n_probe=4 probes -> cosine re-rank (mirrors
+        # ann.ivf_topk with centroids='portable'; every distance is exact
+        # integer arithmetic so argmin/argsort agree across engines)
+        "ann_ivf": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), q AS (
+              SELECT vec_id, v,
+                     list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+              FROM e
+            ), cent AS (
+              SELECT row_number() OVER (ORDER BY md5('ivf:' || vec_id), vec_id) - 1
+                       AS cell,
+                     qv AS cv
+              FROM (SELECT vec_id, qv FROM q
+                    ORDER BY md5('ivf:' || vec_id), vec_id LIMIT 16)
+            ), dist AS (
+              SELECT q.vec_id, c.cell,
+                     list_dot_product(q.qv, q.qv)
+                     - 2 * list_dot_product(q.qv, c.cv)
+                     + list_dot_product(c.cv, c.cv) AS d
+              FROM q CROSS JOIN cent c
+            ), assigned AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cell) AS rn
+                FROM dist
+              ) WHERE rn = 1
+            ), probes AS (
+              SELECT vec_id AS query_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cell) AS rn
+                FROM dist WHERE vec_id < 5
+              ) WHERE rn <= 4
+            ), scored AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id,
+                     list_dot_product(ea.v, eb.v) /
+                     (sqrt(list_dot_product(ea.v, ea.v)) *
+                      sqrt(list_dot_product(eb.v, eb.v))) AS cos
+              FROM probes p
+              JOIN assigned a USING (cell)
+              JOIN e ea ON ea.vec_id = p.query_id
+              JOIN e eb ON eb.vec_id = a.vec_id
+              WHERE a.vec_id <> p.query_id
             )
             SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine FROM (
               SELECT query_id, neighbor_id, cos,

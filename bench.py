@@ -29,6 +29,7 @@ HEADLINE = [
     "substring_overlaps",
     "ann_cosine_topk",
     "ann_rp_lsh",
+    "ann_ivf",
     "quality_scores",
     "lang_id",
     "doc_fingerprint",

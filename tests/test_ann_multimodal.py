@@ -8,7 +8,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from webdedup.ann import cosine_topk, rp_lsh_topk
+from webdedup.ann import cosine_topk, ivf_topk, rp_lsh_topk
 from webdedup.multimodal import (
     extract_features,
     frame_sample_plan,
@@ -85,6 +85,74 @@ def test_rp_lsh_finds_true_near_neighbor(spark):
         if mine and mine[0] == q + n:
             hit += 1
     assert hit / n >= 0.95  # near-exact recall of the planted twin
+
+
+def test_ivf_kmeans_finds_true_near_neighbor(spark):
+    # production path: KMeans-trained coarse quantizer.  The perturbed twin
+    # (cosine ~0.9999) lands in the same cell as its base vector, and the
+    # query's own cell is always the first probe -> twin must be retrieved.
+    n = 30
+    pdf = _vectors(n)
+    df = spark.createDataFrame(pdf)
+    queries = df.where(F.col("vec_id") < n)  # the base vectors
+    got = ivf_topk(df, queries, k=3, n_cells=8, n_probe=3).toPandas()
+    hit = 0
+    for q in range(n):
+        mine = got[got.query_id == q].sort_values("rank")["neighbor_id"].tolist()
+        if mine and mine[0] == q + n:
+            hit += 1
+    assert hit / n >= 0.9
+
+
+def test_ivf_portable_deterministic_and_cosines_exact(spark):
+    # the oracle-replayable path: identical output under repartitioning, and
+    # every returned cosine matches the numpy ground truth
+    pdf = _vectors(12)
+    df = spark.createDataFrame(pdf)
+    queries = df.where(F.col("vec_id") < 4)
+    a = (
+        ivf_topk(df, queries, k=5, n_cells=4, n_probe=2, centroids="portable")
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        ivf_topk(
+            df.repartition(5), queries, k=5, n_cells=4, n_probe=2,
+            centroids="portable",
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a[["query_id", "neighbor_id", "rank"]].equals(
+        b[["query_id", "neighbor_id", "rank"]]
+    )
+    mat = np.stack([np.asarray(v) for v in pdf["embedding"]])
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for _, r in a.iterrows():
+        expect = float(normed[int(r.query_id)] @ normed[int(r.neighbor_id)])
+        assert abs(r.cosine - expect) < 1e-6
+
+
+def test_ivf_probes_bound_the_search(spark):
+    # IVF is a pruning structure: with n_probe < n_cells a query may miss
+    # corpus vectors outside its probed cells, but it must NEVER return more
+    # than one row per (query, neighbor) and never the query itself
+    pdf = _vectors(20)
+    df = spark.createDataFrame(pdf)
+    queries = df.where(F.col("vec_id") < 6)
+    got = ivf_topk(df, queries, k=40, n_cells=5, n_probe=2).toPandas()
+    assert not got.duplicated(["query_id", "neighbor_id"]).any()
+    assert (got.query_id != got.neighbor_id).all()
+    # with ALL cells probed the search is exhaustive: top-1 = exact top-1
+    full = ivf_topk(
+        df, queries, k=3, n_cells=5, n_probe=5, centroids="portable"
+    ).toPandas()
+    oracle = _exact_oracle(pdf, list(range(6)), k=3)
+    for q in range(6):
+        mine = full[full.query_id == q].sort_values("rank")["neighbor_id"].tolist()
+        assert mine[0] == oracle[q][0]
 
 
 def test_sniff_media_type(spark):

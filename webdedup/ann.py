@@ -1,14 +1,23 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, as a training-data pipeline needs:
+Three paths, as a training-data pipeline needs:
   - cosine_topk: brute-force exact top-k — the baseline/oracle, a broadcast
     nested-loop of a small query set against the corpus, all JVM-side
     (zip_with/aggregate dot products).
-  - rp_lsh_topk: the scale path — random-hyperplane (SimHash-for-vectors,
+  - rp_lsh_topk: a scale path — random-hyperplane (SimHash-for-vectors,
     Charikar 2002) sign signatures, cut into prefix blocks exactly like the
     text SimHash (pigeonhole guarantee), candidates from block-bucket joins,
     exact cosine re-ranking on candidates only.  The sign signature is one
     numpy matmul per Arrow batch (pandas UDF).
+  - ivf_topk: the other standard scale path — an inverted-file (IVF) coarse
+    quantizer (Jegou/Douze/Schmid 2011, "Product Quantization for Nearest
+    Neighbor Search" §IV; the FAISS IVF-Flat layout): every corpus vector is
+    assigned to its nearest of n_cells centroids (the inverted lists), a
+    query probes its n_probe nearest cells, and only those lists are
+    cosine-re-ranked.  Relationally the "index" is just a (vector, cell)
+    column and the probe is an equi-join on cell — Spark's shuffle IS the
+    inverted-file lookup, so at 100 TB the lists are hash-partitioned by
+    cell and a query touches n_probe/n_cells of the corpus.
 """
 
 from __future__ import annotations
@@ -136,6 +145,154 @@ def make_portable_sign_signature_udf(dim: int, n_bits: int = 64):
         return pd.Series(packed.astype(np.int64))
 
     return sign_sig
+
+
+def quantize_int(mat: np.ndarray) -> np.ndarray:
+    """floor(v * 1000) as int64 — the same exact-arithmetic portability trick
+    as make_portable_sign_signature_udf: float32 -> float64 is exact, *1000
+    rounds identically under IEEE-754, floor is exact, so every engine gets
+    the SAME integers and integer distances are order-deterministic."""
+    return np.floor(mat.astype(np.float64) * 1000.0).astype(np.int64)
+
+
+def portable_centroids(
+    corpus: DataFrame, n_cells: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> np.ndarray:
+    """Engine-independent IVF centroids: the n_cells corpus vectors with the
+    smallest md5('ivf:' || id) — a deterministic pseudo-random sample any SQL
+    engine can rebuild (ORDER BY md5(...) LIMIT n_cells), quantized to
+    integers so cell assignment is exact integer arithmetic.  Data-sampled
+    centroids are the classic zero-iteration IVF seeding; the production
+    kmeans_centroids refines them when replayability is not required.
+    Bounded driver collect: n_cells rows (n_cells ~ sqrt(corpus) in practice,
+    kept small here)."""
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_h", F.md5(F.concat(F.lit("ivf:"), F.col("_id").cast("string"))))
+        .orderBy("_h", "_id")
+        .limit(n_cells)
+        .collect()
+    )
+    mat = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+    return quantize_int(mat)
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    seed: int = 1337,
+    max_iter: int = 20,
+    sample_rows: int = 200_000,
+) -> np.ndarray:
+    """Production IVF training: Lloyd-refined centroids via Spark ML KMeans
+    on a bounded sample (training the coarse quantizer on a sample is the
+    standard IVF recipe — the assignment pass below still covers EVERY
+    corpus vector).  Returns float64 (n_cells, dim)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    n = train.count()
+    if n > sample_rows:
+        train = train.sample(fraction=sample_rows / n, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
+    return np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+
+
+def _make_cell_udfs(cents: np.ndarray, n_probe: int, quantized: bool):
+    """(assign_udf, probe_udf) over a fixed centroid matrix.
+
+    Distance = squared L2, expanded as |v|^2 - 2 v.C^T + |c|^2 — one matmul
+    per Arrow batch.  With quantized=True everything is int64 (|values| <
+    64 * (2*10^6)^2 < 2^53, also exact when an oracle engine computes the
+    same expansion in doubles); ties break toward the smaller cell index in
+    every engine (numpy argmin/stable argsort take the first minimum)."""
+    c_sq = (cents * cents).sum(axis=1)  # (n_cells,)
+
+    def _dists(vecs: pd.Series) -> np.ndarray:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        if quantized:
+            mat = quantize_int(mat)
+        v_sq = (mat * mat).sum(axis=1, keepdims=True)
+        return v_sq - 2 * (mat @ cents.T) + c_sq[None, :]
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_cell(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        return pd.Series(np.argmin(_dists(vecs), axis=1).astype(np.int32))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        order = np.argsort(_dists(vecs), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return assign_cell, probe_cells
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: str = "kmeans",
+    seed: int = 1337,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: (query_id, neighbor_id, rank, cosine).
+
+    centroids: 'kmeans' (production, Spark ML Lloyd refinement) or
+    'portable' (md5-sampled integer centroids a SQL oracle replays exactly —
+    see portable_centroids).
+
+    Plan shape (the 100 TB story): the corpus-side (id, vector, cell) table
+    is the persistent index — computed once, hash-partitioned/bucketed by
+    cell.  Queries explode to n_probe (query, cell) rows and equi-join on
+    cell, so each query streams n_probe inverted lists instead of the
+    corpus; the exact cosine runs only inside probed cells.  No cross join
+    ever materializes, and the centroid matrix (n_cells x dim) rides in the
+    UDF closure — broadcast-sized by construction."""
+    if centroids == "portable":
+        cents = portable_centroids(corpus, n_cells, id_col, vec_col)
+        quantized = True
+    else:
+        cents = kmeans_centroids(corpus, n_cells, vec_col, seed)
+        quantized = False
+    assign_cell, probe_cells = _make_cell_udfs(cents, n_probe, quantized)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("c_norm"),
+        assign_cell(F.col(vec_col)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    # every corpus vector lives in exactly ONE cell, so a (query, neighbor)
+    # pair appears at most once — no post-join dedup exchange needed
+    scored = (
+        q.join(c, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            dot(F.col("qv"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
 
 
 def _blocks(sig: Column, n_bits: int, n_blocks: int) -> Column:
