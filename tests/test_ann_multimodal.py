@@ -155,6 +155,29 @@ def test_ivf_probes_bound_the_search(spark):
         assert mine[0] == oracle[q][0]
 
 
+def test_ivf_prebuilt_index_reused_across_query_batches(spark):
+    # production shape: build the inverted-file index once, answer several
+    # query batches against it — identical results to the inline build
+    from webdedup.ann import ivf_build
+
+    pdf = _vectors(15)
+    df = spark.createDataFrame(pdf)
+    idx = ivf_build(df, n_cells=4, centroids="portable")
+    for lo, hi in [(0, 3), (3, 6)]:
+        queries = df.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        via_index = (
+            ivf_topk(None, queries, k=4, n_probe=2, index=idx)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        inline = (
+            ivf_topk(df, queries, k=4, n_cells=4, n_probe=2, centroids="portable")
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        assert via_index.equals(inline)
+    with pytest.raises(ValueError):
+        ivf_topk(None, df, k=2)
+
+
 def test_sniff_media_type(spark):
     rows = [
         ("png", b"\x89PNG\r\n\x1a\n" + b"x" * 16),

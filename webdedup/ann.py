@@ -233,8 +233,46 @@ def _make_cell_udfs(cents: np.ndarray, n_probe: int, quantized: bool):
     return assign_cell, probe_cells
 
 
-def ivf_topk(
+def ivf_build(
     corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: str = "kmeans",
+    seed: int = 1337,
+) -> tuple[DataFrame, np.ndarray, bool]:
+    """Build the persistent IVF index: (index_df, centroid_matrix, quantized).
+
+    index_df is (neighbor_id, cv, c_norm, cell) — the inverted lists as a
+    table.  At 100 TB this is written ONCE as a parquet/Iceberg table
+    ``.write.partitionBy("cell")`` (partition pruning then makes each probe
+    read exactly its lists); every later query batch joins against it with
+    no assignment recompute (ivf_topk(index=...)).  No repartition here —
+    inline, the small query side broadcasts and the corpus never shuffles.
+    The centroid matrix (n_cells x dim) is the tiny driver-side artifact to
+    persist next to it (np.save / a 1-row table).
+
+    centroids: 'kmeans' (production, Spark ML Lloyd refinement) or
+    'portable' (md5-sampled integer centroids a SQL oracle replays exactly —
+    see portable_centroids)."""
+    if centroids == "portable":
+        cents = portable_centroids(corpus, n_cells, id_col, vec_col)
+        quantized = True
+    else:
+        cents = kmeans_centroids(corpus, n_cells, vec_col, seed)
+        quantized = False
+    assign_cell, _ = _make_cell_udfs(cents, 1, quantized)
+    index = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("c_norm"),
+        assign_cell(F.col(vec_col)).alias("cell"),
+    )
+    return index, cents, quantized
+
+
+def ivf_topk(
+    corpus: DataFrame | None,
     queries: DataFrame,
     k: int = 10,
     n_cells: int = 16,
@@ -243,12 +281,13 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: str = "kmeans",
     seed: int = 1337,
+    index: tuple[DataFrame, np.ndarray, bool] | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: (query_id, neighbor_id, rank, cosine).
 
-    centroids: 'kmeans' (production, Spark ML Lloyd refinement) or
-    'portable' (md5-sampled integer centroids a SQL oracle replays exactly —
-    see portable_centroids).
+    Either pass a raw corpus (the index is built inline via ivf_build) or a
+    prebuilt ``index=ivf_build(...)`` triple to amortize the assignment pass
+    across query batches — the production shape.
 
     Plan shape (the 100 TB story): the corpus-side (id, vector, cell) table
     is the persistent index — computed once, hash-partitioned/bucketed by
@@ -257,20 +296,13 @@ def ivf_topk(
     corpus; the exact cosine runs only inside probed cells.  No cross join
     ever materializes, and the centroid matrix (n_cells x dim) rides in the
     UDF closure — broadcast-sized by construction."""
-    if centroids == "portable":
-        cents = portable_centroids(corpus, n_cells, id_col, vec_col)
-        quantized = True
-    else:
-        cents = kmeans_centroids(corpus, n_cells, vec_col, seed)
-        quantized = False
-    assign_cell, probe_cells = _make_cell_udfs(cents, n_probe, quantized)
+    if index is None:
+        if corpus is None:
+            raise ValueError("ivf_topk needs a corpus or a prebuilt index")
+        index = ivf_build(corpus, n_cells, id_col, vec_col, centroids, seed)
+    c, cents, quantized = index
+    _, probe_cells = _make_cell_udfs(cents, n_probe, quantized)
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col)).alias("c_norm"),
-        assign_cell(F.col(vec_col)).alias("cell"),
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
