@@ -4,8 +4,9 @@ Usage:
     # package the library for the executors
     python -m webdedup.cli package --out /tmp/webdedup.zip
 
-    # run the pipeline on a pages parquet table
-    spark-submit --py-files /tmp/webdedup.zip -m webdedup.cli run \
+    # run the pipeline on a pages parquet table (the primary script is this
+    # file; executors import the library from the shipped zip)
+    spark-submit --master yarn --py-files /tmp/webdedup.zip cli.py run \
         --input /path/to/pages_parquet --checkpoint /path/to/ckpt --output /path/out
 
     # generate a synthetic corpus
