@@ -3,8 +3,11 @@ local[N] and local[4N]; efficiency = (T_N / T_4N) / 4, target >= 0.8.
 Outputs are checksum-compared (determinism under parallelism change) and the
 results are written to BENCH/BASELINE.md.
 
-Each parallelism level runs in its own subprocess (own JVM) so the two
-measurements share nothing but the input parquet.
+Every sample runs in its own subprocess (own JVM) and samples are
+interleaved across the two levels (small, big, small, big, ...) so both
+levels sample the same host-noise regime; per-level steady state is the
+minimum across samples.  SCALING_SAMPLES (default 3) controls samples per
+level.
 """
 
 from __future__ import annotations
@@ -49,7 +52,12 @@ def make_input(path: Path, n_docs: int) -> None:
     spark.stop()
 
 
-def run_level(cores: int, input_dir: Path) -> dict:
+def run_sample(cores: int, input_dir: Path, sample_ix: int) -> dict:
+    """One pipeline run in its own JVM (repeat=1): interleaving samples
+    across levels (small, big, small, big, ...) keeps both levels inside the
+    same host-noise regime — the sandbox VM's frame pool and host load drift
+    on ~10-minute scales, which back-to-back per-level blocks alias into the
+    efficiency ratio."""
     out = subprocess.run(
         [
             sys.executable,
@@ -59,7 +67,7 @@ def run_level(cores: int, input_dir: Path) -> dict:
             "--input",
             str(input_dir),
             "--repeat",
-            os.environ.get("SCALING_REPEAT", "2"),
+            "1",
         ],
         capture_output=True,
         text=True,
@@ -72,7 +80,30 @@ def run_level(cores: int, input_dir: Path) -> dict:
             f"run_one --cores {cores} failed rc={out.returncode} (full stderr: {errfile})"
         )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    res = json.loads(line)
+    print(
+        f"sample {sample_ix}: local[{cores}] -> {res['wall_sec']}s",
+        file=sys.stderr,
+        flush=True,
+    )
+    return res
+
+
+def summarize(samples: list[dict]) -> dict:
+    """Min across interleaved samples = steady state (host reclaims idle
+    guest frames continuously; any one run can absorb re-fault noise a real
+    executor pays once per lifetime)."""
+    runs = [s["wall_sec"] for s in samples]
+    wall = min(runs)
+    return {
+        "cores": samples[0]["cores"],
+        "n_docs": samples[0]["n_docs"],
+        "runs": runs,
+        "wall_sec": wall,
+        "docs_per_sec": round(samples[0]["n_docs"] / wall, 1),
+        "clusters_checksum": samples[0]["clusters_checksum"],
+        "all_checksums_equal": len({s["clusters_checksum"] for s in samples}) == 1,
+    }
 
 
 def main() -> None:
@@ -84,10 +115,20 @@ def main() -> None:
     input_dir = HERE / "data" / f"pages_{N_DOCS}{suffix}"
     make_input(input_dir, N_DOCS)
 
-    small = run_level(N_SMALL, input_dir)
-    big = run_level(N_BIG, input_dir)
+    n_samples = int(os.environ.get("SCALING_SAMPLES", "3"))
+    small_samples: list[dict] = []
+    big_samples: list[dict] = []
+    for i in range(n_samples):
+        small_samples.append(run_sample(N_SMALL, input_dir, 2 * i))
+        big_samples.append(run_sample(N_BIG, input_dir, 2 * i + 1))
+    small = summarize(small_samples)
+    big = summarize(big_samples)
 
-    same_output = small["clusters_checksum"] == big["clusters_checksum"]
+    same_output = (
+        small["clusters_checksum"] == big["clusters_checksum"]
+        and small["all_checksums_equal"]
+        and big["all_checksums_equal"]
+    )
     efficiency = (small["wall_sec"] / big["wall_sec"]) / (N_BIG / N_SMALL)
 
     result = {
@@ -100,8 +141,14 @@ def main() -> None:
         "pass": bool(same_output and efficiency >= 0.8),
     }
     print(json.dumps(result, indent=2))
+    # machine-readable result next to the curated narrative: BASELINE.md is
+    # hand-maintained (round-over-round tables, membw ceiling, 8->32
+    # cross-check) and must not be clobbered by a rerun
+    (HERE / f"scaling_{N_SMALL}_{N_BIG}_{N_DOCS}.json").write_text(
+        json.dumps(result, indent=2) + "\n"
+    )
 
-    md = f"""# BENCH/BASELINE.md — measured scaling evidence
+    md = f"""# scaling run summary (auto-generated; curated copy: BASELINE.md)
 
 North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
 executors.  Sandbox evidence (no real cluster): the same full dedup pipeline
@@ -110,12 +157,13 @@ components) on the identical {N_DOCS}-page synthetic corpus
 (text_scale={TEXT_SCALE}, ~{330 * TEXT_SCALE} B of text per page) at
 local[{N_SMALL}] vs local[{N_BIG}], one JVM per level.
 
-Per level the pipeline runs twice in the same JVM (BENCH/run_one.py
---repeat): the host continuously reclaims
-idle guest frames, so any run can absorb re-fault noise a real executor
-pays once per lifetime; the MINIMUM across repeats is the steady state
-used for the efficiency ratio (all runs reported).  The VM frame
-pool is prewarmed once before both levels (BENCH/prewarm.py).
+Samples are INTERLEAVED across levels ({N_SMALL},{N_BIG} alternating,
+{len(small["runs"])} samples per level, one JVM per run) so both levels see
+the same host-noise regime; the host continuously reclaims idle guest
+frames, so any run can absorb re-fault noise a real executor pays once per
+lifetime — the MINIMUM across samples is the steady state used for the
+efficiency ratio (all runs reported).  The VM frame pool is prewarmed once
+up front (BENCH/prewarm.py).
 
 | parallelism | runs (s) | steady = min (s) | docs/sec (steady) |
 |---|---|---|---|
@@ -126,13 +174,14 @@ pool is prewarmed once before both levels (BENCH/prewarm.py).
 - **deterministic output** under parallelism change: {"YES" if same_output else "NO"}
   (md5 over (count, sum xxhash64(url,gid)): `{small["clusters_checksum"]}`)
 
-Protocol: BENCH/scaling.py (subprocess per level), input snapshot at
+Protocol: BENCH/scaling.py (interleaved samples, subprocess per run),
+input snapshot at
 BENCH/data/pages_{N_DOCS}{suffix}. Regenerate with `python BENCH/scaling.py`
 (SCALING_CORES_N / SCALING_DOCS / SCALING_TEXT_SCALE override the level pair
 and corpus).
 """
-    (HERE / "BASELINE.md").write_text(md)
-    print(f"wrote {HERE / 'BASELINE.md'}")
+    (HERE / "last_scaling_run.md").write_text(md)
+    print(f"wrote {HERE / 'last_scaling_run.md'}")
 
 
 if __name__ == "__main__":

@@ -105,10 +105,35 @@ def get_spark(
         .config("spark.rpc.askTimeout", "600s")
         .config("spark.rpc.lookupTimeout", "600s")
     )
+    # GC: the throughput collector, not the default G1.  Event logs showed
+    # jvmGcTime inflating 22 s -> 1111 s going local[8] -> local[32] on the
+    # same 150k-page job (the signatures stage alone spent 530 s in GC) —
+    # G1's concurrent region evacuation collapses under this workload's
+    # allocation churn (Arrow batches, columnar cache build, wide-array
+    # rows) once dozens of mutator threads share one heap.  Measured
+    # head-to-head at local[32], same input, same output checksum
+    # (BENCH/gc_matrix.sh): G1 258.7 s vs ParallelGC 116.2 s — 2.2x.  A
+    # batch engine has no pause-time SLO, which is the only thing G1 buys;
+    # stop-the-world parallel compaction is the right trade on executors
+    # exactly as it is here.  SPARK_DRIVER_JAVA_OPTS overrides (a GC choice
+    # there wins — two selectors would abort the JVM).
+    java_opts = os.environ.get("SPARK_DRIVER_JAVA_OPTS", "")
+    if "GC" not in java_opts:
+        java_opts = f"-XX:+UseParallelGC {java_opts}"
     if pretouch_gb:
-        builder = builder.config(
-            "spark.driver.extraJavaOptions",
-            f"-Xms{pretouch_gb}g -XX:+AlwaysPreTouch",
+        java_opts = f"-Xms{pretouch_gb}g -XX:+AlwaysPreTouch {java_opts}"
+    if java_opts.strip():
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts.strip())
+    # SPARK_EXTRA_CONF="k=v;k=v": experiment hook (BENCH gc/off-heap matrix)
+    for kv in os.environ.get("SPARK_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
+    if os.environ.get("SPARK_EVENTLOG"):
+        # diagnostics hook used by BENCH + scripts/analyze_eventlog.py
+        os.makedirs("/tmp/spark-events", exist_ok=True)
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", "file:///tmp/spark-events"
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
