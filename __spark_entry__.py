@@ -139,6 +139,32 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition metrics (fraction of bigram
+    occurrences in duplicated bigrams + top-bigram share) — the degenerate-
+    page quality filter a training pipeline runs before dedup.  Exercises
+    webdedup.linededup's sibling textstats.repetition_stats (explode +
+    two map-side-combine aggs; linear, skew-free)."""
+    from webdedup.textstats import repetition_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_stats(docs, n=2).orderBy("doc_id")
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level duplicated-unit removal over 10-token
+    chunks (documents lack line structure): a chunk appearing in >= 2
+    distinct docs keeps only its globally-first occurrence; each doc's text
+    is rebuilt from surviving chunks (webdedup.linededup.dedup_units)."""
+    from webdedup.linededup import dedup_units
+
+    docs = _read(spark, sf_dir, "documents")
+    cleaned, _metrics = dedup_units(
+        docs, id_col="doc_id", chunk_width=10, keep="one", joiner=" "
+    )
+    return cleaned.orderBy("doc_id")
+
+
 def q_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/token-set Jaccard near-dup pairs within a language block.
 
@@ -633,6 +659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "doc_fingerprint": q_doc_fingerprint,
         "token_jaccard_pairs": q_token_jaccard_pairs,
+        "repetition_stats": q_repetition_stats,
+        "chunk_dedup": q_chunk_dedup,
         "lang_id": q_lang_id,
         "rolling_fingerprint": q_rolling_fingerprint,
         "embedding_neardup": q_embedding_neardup,
@@ -709,6 +737,66 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_filter(toks, x -> x IN ({stop_list}))) * 1.0 / len(toks), 6)
                      AS stopword_ratio
             FROM t ORDER BY doc_id
+        """,
+        "repetition_stats": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+              FROM t, unnest(range(1, len(toks))) AS r(i)
+              WHERE len(toks) >= 2
+            ), pg AS (
+              SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2
+            ), s AS (
+              SELECT doc_id, sum(c) AS n_grams,
+                     round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0
+                           / sum(c), 6) AS dup_gram_frac,
+                     round(max(c) * 1.0 / sum(c), 6) AS top_gram_share
+              FROM pg GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+                   coalesce(s.dup_gram_frac, 0.0) AS dup_gram_frac,
+                   coalesce(s.top_gram_share, 0.0) AS top_gram_share
+            FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
+        """,
+        "chunk_dedup": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+              FROM documents
+            ), u AS (
+              SELECT doc_id, CAST(i AS INT) AS pos,
+                     array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS unit
+              FROM t, unnest(range(CAST(ceil(len(toks)/10.0) AS BIGINT))) AS r(i)
+            ), hotness AS (
+              SELECT unit, count(DISTINCT doc_id) >= 2 AS is_hot
+              FROM u GROUP BY unit
+            ), flagged AS (
+              SELECT u.*, h.is_hot,
+                     row_number() OVER (PARTITION BY u.unit
+                                        ORDER BY u.doc_id, u.pos) AS rn
+              FROM u JOIN hotness h USING (unit)
+            ), kept AS (
+              SELECT * FROM flagged WHERE NOT is_hot OR rn = 1
+            ), reb AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(unit, ' ' ORDER BY pos) AS cleaned_text
+              FROM kept GROUP BY doc_id
+            ), tot AS (
+              SELECT doc_id, count(*) AS n_units FROM u GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(tot.n_units, 0) AS n_units,
+                   coalesce(tot.n_units, 0) - coalesce(reb.n_kept, 0) AS n_removed,
+                   coalesce(reb.cleaned_text, '') AS cleaned_text
+            FROM documents d
+            LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "doc_fingerprint": r"""
             SELECT doc_id,

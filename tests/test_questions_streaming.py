@@ -164,3 +164,48 @@ def test_incremental_stream_driver(spark, tmp_path):
     q = run_incremental(spark, str(src), state_dir, cfg)
     q.awaitTermination(120)
     assert read_state(spark, state_dir).count() == 30
+
+
+def test_stateful_exact_dedup(spark, tmp_path):
+    """applyInPandasWithState exact dedup: keyed state survives across
+    microbatches (a later batch's duplicate joins the FIRST batch's group),
+    uniques found their own groups, restart with the same checkpoint is a
+    no-op."""
+    from webdedup.streaming import run_exact_dedup_stream
+    from webdedup.synth import pages_spark_schema
+
+    schema = pages_spark_schema()
+    src = tmp_path / "src"
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 1)
+    mk = lambda u, t: (u, ts, t.encode(), t, "en")
+    write_batch([mk("u1", "same text"), mk("u2", "same text"),
+                 mk("u5", "other text")], "b1")
+    write_batch([mk("u3", "same text"), mk("u4", "fresh text")], "b2")
+
+    out = tmp_path / "out"
+    q = run_exact_dedup_stream(spark, str(src), str(out))
+    q.awaitTermination(120)
+
+    got = {r["url"]: r["gid"] for r in
+           spark.read.parquet(str(out / "assignments")).collect()}
+    assert len(got) == 5
+    # all three "same text" urls share one gid, founded by u1 or u2
+    # (file-batch order decides which of the first batch's urls is min —
+    # within one batch the min url is the founder)
+    assert got["u1"] == got["u2"] == got["u3"]
+    assert got["u1"] in ("u1", "u2")
+    assert got["u4"] == "u4" and got["u5"] == "u5"
+
+    # restart on the same checkpoint: no new input -> no new rows
+    n_before = spark.read.parquet(str(out / "assignments")).count()
+    q2 = run_exact_dedup_stream(spark, str(src), str(out))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(out / "assignments")).count() == n_before

@@ -171,6 +171,84 @@ def process_batch(
     return assigned
 
 
+def exact_dedup_stateful(pages_stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup as a CUSTOM STATEFUL OPERATOR
+    (applyInPandasWithState) — the second streaming shape next to
+    run_incremental's foreachBatch loop.
+
+    Groups the stream by exact text hash; per-key state is the group id
+    (the first-seen url, min-url within the founding microbatch for
+    determinism).  Emits (url, gid, text_hash) per input row; a row founds
+    a new group iff url == gid.
+
+    When to use which: run_incremental (foreachBatch + epoch parquet state)
+    fits the NEAR-dup pipeline, whose matching is a join against all prior
+    state — not expressible as per-key state.  Exact dedup IS per-key
+    (key = text hash), so it maps onto the engine's keyed state store:
+    state lives in the streaming checkpoint (RocksDB/HDFS-backed at scale,
+    hash-partitioned by key across executors), giving exactly-once replay
+    without a side parquet directory.  Per-key memory here is O(1) state
+    (one gid) plus the batch's own rows for the key; a pathological
+    exact-dup cohort (10^6 identical pages in one trigger) buffers only its
+    url column before emitting.
+
+    The reference has no streaming at all (SURVEY §2.10) — both shapes are
+    beyond-reference additions."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = pages_stream.select(
+        "url", F.xxhash64(F.coalesce(F.col("text"), F.lit(""))).alias("text_hash")
+    )
+
+    def assign(key, pdf_iter, state: GroupState):
+        urls: list = []
+        for pdf in pdf_iter:
+            urls.extend(pdf["url"].tolist())
+        if state.exists:
+            (gid,) = state.get
+        else:
+            gid = min(urls)
+            state.update((gid,))
+        yield pd.DataFrame(
+            {"url": urls, "gid": gid, "text_hash": key[0]}
+        )
+
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        assign,
+        outputStructType="url string, gid string, text_hash bigint",
+        stateStructType="gid string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_exact_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Drive exact_dedup_stateful over a file source into a parquet sink;
+    returns the started query.  Checkpoint (incl. the keyed state store)
+    lives under <out_dir>/_checkpoint."""
+    from webdedup.synth import pages_spark_schema
+
+    stream = (
+        spark.readStream.schema(pages_spark_schema())
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    assigned = exact_dedup_stateful(stream)
+    return (
+        assigned.writeStream.format("parquet")
+        .option("path", f"{out_dir}/assignments")
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_incremental(
     spark: SparkSession,
     source_dir: str,

@@ -157,6 +157,65 @@ def with_quality_features(
     return out.drop(toks_c, "__qf_uniq", "__qf_stop", "__qf_alnum")
 
 
+def gram_array(toks: Column, n: int) -> Column:
+    """Overlapping n-token grams as strings; fewer than n tokens -> []."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Per-document repetition metrics — the Gopher-style quality filters
+    ("fraction of n-gram occurrences in duplicated n-grams" and "share of
+    the most frequent n-gram"; Rae et al. 2021, public) that a training-data
+    pipeline runs before dedup to drop degenerate/boilerplate pages.
+
+    Returns (id_col, n_grams, dup_gram_frac, top_gram_share); docs with
+    fewer than n tokens get (0, 0.0, 0.0).
+
+    Plan shape (the 100 TB story): one explode + two aggregations, both
+    keyed by doc (then (doc, gram)) — partial aggregation combines map-side
+    and the keys are per-document, so corpus-wide hot grams can NOT skew a
+    reducer (contrast corpus-level line dedup in linededup.py, which keys by
+    unit and handles skew there).  Cost is linear in total token count; no
+    per-doc quadratic HOF (an `array_max(transform(distinct, g ->
+    size(filter(grams, = g))))` formulation would be O(grams^2) per row and
+    die on long pages)."""
+    grams = df.select(
+        F.col(id_col), F.explode(gram_array(ws_tokens(F.col(text_col)), n)).alias("g")
+    )
+    per_gram = grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    stats = per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("_mx"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("_dup"),
+    )
+    scored = stats.select(
+        id_col,
+        "n_grams",
+        F.round(F.col("_dup") / F.col("n_grams"), 6).alias("dup_gram_frac"),
+        F.round(F.col("_mx") / F.col("n_grams"), 6).alias("top_gram_share"),
+    )
+    # docs with < n tokens emit no gram rows — restore them with zeros so the
+    # operator is total over the corpus
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("dup_gram_frac", F.lit(0.0)).alias("dup_gram_frac"),
+            F.coalesce("top_gram_share", F.lit(0.0)).alias("top_gram_share"),
+        )
+    )
+
+
 def quality_features(text: Column, stopwords: tuple[str, ...]) -> dict[str, Column]:
     """Doc-quality signals: length, token stats, stopword/unique ratios,
     mean token length, non-alnum character ratio."""
