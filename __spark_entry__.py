@@ -139,6 +139,17 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation over the events table — the
+    batch face of streaming.windowed_event_counts (same function; the
+    streaming face adds withWatermark and is tested in
+    tests/test_questions_streaming.py)."""
+    from webdedup.streaming import windowed_event_counts
+
+    ev = _read(spark, sf_dir, "events")
+    return windowed_event_counts(ev).orderBy("window_start", "event_type")
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-doc repetition metrics (fraction of bigram
     occurrences in duplicated bigrams + top-bigram share) — the degenerate-
@@ -659,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "doc_fingerprint": q_doc_fingerprint,
         "token_jaccard_pairs": q_token_jaccard_pairs,
+        "events_windowed": q_events_windowed,
         "repetition_stats": q_repetition_stats,
         "chunk_dedup": q_chunk_dedup,
         "lang_id": q_lang_id,
@@ -737,6 +749,12 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_filter(toks, x -> x IN ({stop_list}))) * 1.0 / len(toks), 6)
                      AS stopword_ratio
             FROM t ORDER BY doc_id
+        """,
+        "events_windowed": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "repetition_stats": r"""
             WITH t AS (

@@ -31,6 +31,8 @@ HEADLINE = [
     "ann_rp_lsh",
     "ann_ivf",
     "quality_scores",
+    "repetition_stats",
+    "chunk_dedup",
     "lang_id",
     "doc_fingerprint",
     "media_features",

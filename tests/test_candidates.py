@@ -91,3 +91,35 @@ def test_rank_candidates_topk(spark):
     )
     got = {(r["url_a"], r["url_b"]): r["rank"] for r in rank_candidates(scored, "score", k=2).collect()}
     assert got == {("s", "b1"): 1, ("s", "b3"): 2, ("t", "b1"): 1}
+
+
+def test_canonical_url_and_url_candidates(spark):
+    import pandas as pd
+
+    from webdedup.candidates import url_candidates
+    from webdedup.normalize import canonical_url
+
+    variants = [
+        "https://Site0.example/p/1",
+        "http://site0.example/p/1/",
+        "www.site0.example/p/1",
+        "https://site0.example/p/1#frag",
+    ]
+    others = [
+        "https://site0.example/p/2",          # different path
+        "https://site0.example/P/1",          # path IS case-sensitive
+        "https://site0.example/p/1?x=1",      # query kept
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": variants + others})
+    )
+    canon = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+    assert canon[:4] == ["site0.example/p/1"] * 4
+    assert len(set(canon[4:])) == 3 and "site0.example/p/1" not in canon[4:]
+
+    pairs = url_candidates(df).collect()
+    # 4 colliding variants -> star of 3 edges around the min url
+    assert len(pairs) == 3
+    assert all(r.method == "url" for r in pairs)
+    keeper = min(variants)
+    assert all(r.url_a == keeper for r in pairs)

@@ -209,3 +209,72 @@ def test_stateful_exact_dedup(spark, tmp_path):
     q2 = run_exact_dedup_stream(spark, str(src), str(out))
     q2.awaitTermination(120)
     assert spark.read.parquet(str(out / "assignments")).count() == n_before
+
+
+def test_windowed_stream_watermark(spark, tmp_path):
+    """Watermarked tumbling-window agg in append mode: a row later than the
+    watermark is DROPPED (the closed window's emitted count excludes it),
+    closed windows emit exactly once, open windows don't emit."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webdedup.streaming import windowed_event_counts
+
+    base = dt.datetime(2024, 1, 1)
+    src = tmp_path / "src"
+    os.makedirs(src)
+
+    def write(name, minutes, mtime):
+        t = pa.table(
+            {
+                "ts": pa.array(
+                    [base + dt.timedelta(minutes=m) for m in minutes],
+                    pa.timestamp("us"),
+                ),
+                "event_type": pa.array(["click"] * len(minutes)),
+                "value": pa.array([1.0] * len(minutes)),
+            }
+        )
+        p = str(src / name)
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))  # file source orders batches by mtime
+
+    write("b1.parquet", [5, 20, 70, 130], 1_000_000)   # windows 0,0,1,2
+    # watermark semantics lag one batch: the watermark COMMITTED after
+    # batch N (max event time - 1h) is the late-row filter for batch N+1,
+    # and windows are emitted/evicted at the END of the batch that commits
+    # a watermark past their end.  So: b2 closes window 0 (committed wm
+    # after b1 = 2:10-1h = 1:10 > 1:00); the minute-10 row in b3 is then
+    # genuinely late (filter wm 1:10) and must be DROPPED.
+    write("b2.parquet", [135], 1_000_010)               # window 2
+    write("b3.parquet", [10, 250], 1_000_020)           # late + window 4
+    write("b4.parquet", [600], 1_000_030)               # advances watermark
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = windowed_event_counts(stream, watermark="1 hour")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = {
+        r["window_start"]: r["n_events"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    h = lambda x: base + dt.timedelta(hours=x)  # noqa: E731
+    assert rows[h(0)] == 2          # late minute-10 row NOT counted
+    assert rows[h(1)] == 1
+    assert rows[h(2)] == 2          # minutes 130 + 135
+    assert h(10) not in rows        # still-open window never emitted

@@ -371,3 +371,33 @@ def rank_candidates(scored: DataFrame, score_col: str, k: int | None = None) -> 
     if k is not None:
         ranked = ranked.where(F.col("rank") <= k)
     return ranked
+
+
+def url_candidates(pages: DataFrame, did_pairs: bool = False) -> DataFrame:
+    """URL-level duplicate pairs: pages whose canonicalized urls collide
+    (normalize.canonical_url — scheme/www/fragment/trailing-slash/host-case
+    variants of one address).  Same linear star shape and keeper rule as
+    exact_candidates: each member pairs with the group's min url, CC
+    restores the full group downstream.  In a Common-Crawl pipeline this
+    runs BEFORE content dedup — it needs no text at all, so the scan reads
+    one string column."""
+    from webdedup.normalize import canonical_url
+
+    keyed = pages.select("url", canonical_url(F.col("url")).alias("curl"))
+    keeper = keyed.groupBy("curl").agg(
+        F.min("url").alias("url_a"), F.count("*").alias("n")
+    )
+    out = (
+        keyed.join(keeper.where(F.col("n") >= 2).hint("shuffle_hash"), "curl")
+        .where(F.col("url") != F.col("url_a"))
+        .select("url_a", F.col("url").alias("url_b"))
+        .withColumn("method", F.lit("url"))
+    )
+    if did_pairs:
+        h_a, h_b = F.xxhash64("url_a"), F.xxhash64("url_b")
+        out = out.select(
+            F.least(h_a, h_b).alias("did_a"),
+            F.greatest(h_a, h_b).alias("did_b"),
+            "method",
+        )
+    return out

@@ -118,3 +118,22 @@ def strip_suffix(col: Column, suffixes: list[str]) -> Column:
 
         out = F.regexp_replace(out, _re.escape(sfx) + r"$", "")
     return F.trim(out)
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonicalize a URL for url-level dedup (the WET/CDX-style pre-dedup
+    a Common-Crawl pipeline runs before any content hashing): strip the
+    fragment, the scheme, a leading 'www.', lowercase the authority (host
+    is case-insensitive per RFC 3986; the path is NOT), and drop trailing
+    slashes.  Pure Catalyst regexp/translate chain — codegen, no UDF.
+
+    Deliberately conservative: query strings are KEPT (reordering/dropping
+    params changes page identity on many sites); ports are kept.  Two pages
+    sharing a canonical url are candidate duplicates regardless of content
+    (candidates.url_candidates)."""
+    u = F.regexp_replace(col, r"#.*$", "")
+    u = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    host = F.substring_index(u, "/", 1)
+    u = F.concat(F.lower(host), u.substr(F.length(host) + 1, F.length(u)))
+    return F.regexp_replace(u, r"/+$", "")

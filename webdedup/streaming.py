@@ -171,6 +171,44 @@ def process_batch(
     return assigned
 
 
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window aggregation over an event stream (or batch table):
+    (window_start, key, n_events, total_value).
+
+    With ``watermark`` set on a streaming input, rows arriving later than
+    the watermark are dropped and append-mode emits each window exactly
+    once, when it closes — the standard late-data story
+    (tests/test_questions_streaming.py::test_windowed_stream_watermark).
+
+    total_value sums via decimal(18,2): float summation order varies with
+    partitioning, so a double sum is not bit-deterministic — the decimal
+    sum is exact and engine-portable (the DuckDB oracle replays it), then
+    cast back to double for the output column."""
+    src = events.withWatermark(ts_col, watermark) if watermark else events
+    return (
+        src.groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def exact_dedup_stateful(pages_stream: DataFrame) -> DataFrame:
     """Streaming exact dedup as a CUSTOM STATEFUL OPERATOR
     (applyInPandasWithState) — the second streaming shape next to
