@@ -138,10 +138,13 @@ def dedup_units(
         ).alias("cleaned_text"),
     )
     totals = units.groupBy(id_col).agg(F.count("*").alias("n_units"))
+    # totals/rebuilt are corpus-sized agg outputs (one row per doc): pin
+    # shuffle_hash so they can never be chosen as a broadcast build off a
+    # low static estimate; both joins reuse the aggs' doc-keyed exchanges
     cleaned = (
         docs.select(id_col)
-        .join(totals, id_col, "left")
-        .join(rebuilt, id_col, "left")
+        .join(totals.hint("shuffle_hash"), id_col, "left")
+        .join(rebuilt.hint("shuffle_hash"), id_col, "left")
         .select(
             id_col,
             F.coalesce("n_units", F.lit(0)).alias("n_units"),

@@ -202,11 +202,15 @@ def repetition_stats(
         F.round(F.col("_dup") / F.col("n_grams"), 6).alias("dup_gram_frac"),
         F.round(F.col("_mx") / F.col("n_grams"), 6).alias("top_gram_share"),
     )
-    # docs with < n tokens emit no gram rows — restore them with zeros so the
-    # operator is total over the corpus
+    # docs with < n tokens emit no gram rows — restore them with zeros so
+    # the operator is total over the corpus.  scored is corpus-sized (one
+    # row per doc) and agg-derived: pin shuffle_hash so a low static
+    # estimate can never broadcast it (same posture as
+    # candidates.exact_candidates' keeper join); the join reuses the
+    # aggregation's doc-keyed exchange.
     return (
         df.select(id_col)
-        .join(scored, id_col, "left")
+        .join(scored.hint("shuffle_hash"), id_col, "left")
         .select(
             id_col,
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
