@@ -448,6 +448,41 @@ def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream table: a >30-min
+    silence starts a new session (the standard clickstream shape: lag ->
+    flag -> running sum -> two-level agg).  Gaps compare exact integer
+    microseconds (unix_micros / epoch_us) so Spark and the DuckDB oracle
+    make bit-identical session splits.  At scale: one exchange on user_id
+    serves the lag window, the running sum, and the per-session agg (all
+    keyed by user); no corpus-wide hot key exists (keys are users)."""
+    from pyspark.sql import Window as W
+
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; the session runs UTC, so the cast to TIMESTAMP
+    # is a pure reinterpretation and unix_micros matches DuckDB's epoch_us
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap_us = us(F.col("ts")) - us(F.lag("ts").over(w))
+    new_sess = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn(
+        "sid",
+        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.count("*").alias("sess_events")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.max("sid").alias("n_sessions"),
+            F.sum("sess_events").alias("n_events"),
+            F.max("sess_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join pipeline: customer x orders x nation with broadcast dims
     (maps the SBS two-join pattern, cartesian.py:168-188)."""
@@ -671,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "events_windowed": q_events_windowed,
+        "user_sessions": q_user_sessions,
         "repetition_stats": q_repetition_stats,
         "chunk_dedup": q_chunk_dedup,
         "lang_id": q_lang_id,
@@ -749,6 +785,33 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_filter(toks, x -> x IN ({stop_list}))) * 1.0 / len(toks), 6)
                      AS stopword_ratio
             FROM t ORDER BY doc_id
+        """,
+        "user_sessions": """
+            WITH flags AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            > 1800 * 1000000
+                          OR lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            ), sess AS (
+              SELECT user_id,
+                     sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flags
+            ), per_session AS (
+              SELECT user_id, sid, count(*) AS sess_events
+              FROM sess GROUP BY user_id, sid
+            )
+            SELECT user_id,
+                   CAST(max(sid) AS BIGINT) AS n_sessions,
+                   CAST(sum(sess_events) AS BIGINT) AS n_events,
+                   CAST(max(sess_events) AS BIGINT) AS max_session_events
+            FROM per_session GROUP BY user_id ORDER BY user_id
         """,
         "events_windowed": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -114,3 +114,29 @@ def test_ws_tokens_empty(spark):
     df = _df(spark, ["", "   ", "a b"])
     got = [r["n"] for r in df.orderBy("id").select(F.size(ws_tokens(F.col("text"))).alias("n")).collect()]
     assert got == [0, 0, 2]
+
+
+def test_extract_text_roundtrip(spark, corpus):
+    """extract_text(html) reproduces the text column byte-identically for
+    every page with valid UTF-8 html; the planted invalid-UTF-8 rows (synth
+    plants them in html ONLY) decode with U+FFFD instead of failing the
+    task under ANSI mode."""
+    from pyspark.sql import functions as F
+
+    from webdedup.normalize import extract_text
+
+    pages = corpus["pages"]
+    got = pages.select(
+        "url", "text", extract_text(F.col("html")).alias("ext")
+    )
+    bad = got.where(F.col("ext") != F.col("text"))
+    n_bad = bad.count()
+    # synth plants ~2% invalid-utf8 htmls; everything else must round-trip
+    assert n_bad < pages.count() * 0.05
+    assert bad.where(~F.col("ext").contains("�")).count() == 0
+    # html entities + script stripping
+    df = spark.createDataFrame(
+        [(b"<html><script>x=1</script><body>a &amp; b</body></html>",)],
+        "html binary",
+    )
+    assert df.select(extract_text(F.col("html"))).first()[0] == "a & b"

@@ -137,3 +137,26 @@ def canonical_url(col: Column) -> Column:
     host = F.substring_index(u, "/", 1)
     u = F.concat(F.lower(host), u.substr(F.length(host) + 1, F.length(u)))
     return F.regexp_replace(u, r"/+$", "")
+
+
+def extract_text(html: Column) -> Column:
+    """Extract visible text from an html binary column — the ingest face of
+    the pipeline's per-row invariant (north rule: byte-identical extracted
+    text per url; metrics.text_invariant_violations pins it end-to-end).
+
+    Pure Catalyst, codegen-friendly: try_cast decodes UTF-8 with U+FFFD for
+    invalid bytes (ANSI `decode` would fail the task on one bad WARC byte
+    — at web scale malformed bytes are data, not errors), script/style
+    blocks and tags become single spaces (block boundaries must separate
+    words), minimal entities decode, whitespace runs collapse, trim.  A
+    single-spaced source text round-trips byte-identically
+    (tests/test_textstats.py::test_extract_text_roundtrip)."""
+    s = html.try_cast("string")
+    s = F.regexp_replace(s, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+        ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ):
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
