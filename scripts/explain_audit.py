@@ -21,6 +21,10 @@ AUDIT = [
     "dedup_exact_groups",
     "ann_cosine_topk",
     "quality_scores",
+    "repetition_stats",
+    "chunk_dedup",
+    "events_windowed",
+    "user_sessions",
 ]
 
 

@@ -96,3 +96,55 @@ def test_repetition_stats(spark):
     assert got[3].n_grams == 0
     assert got[3].dup_gram_frac == 0.0 and got[3].top_gram_share == 0.0
     assert got[4].dup_gram_frac == 1.0 and got[4].top_gram_share == 1.0
+
+
+# --- property test: Spark dedup_units vs a pure-python reference model ---
+# Small line pool forces cross-doc collisions; the model replays the exact
+# contract (hotness by distinct docs, keeper = global min (doc_id, pos),
+# whitespace-only units dropped but positions preserved).
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_LINE_POOL = ["aa", "bb", "cc", "d d", "", " ", "ee ff"]
+_doc_texts = st.lists(
+    st.lists(st.sampled_from(_LINE_POOL), min_size=0, max_size=5).map("\n".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _model_dedup(texts, min_docs, keep):
+    units = []  # (doc_id, pos, unit)
+    for did, text in enumerate(texts):
+        for pos, u in enumerate(text.split("\n")):
+            if u.strip():
+                units.append((did, pos, u))
+    docs_per_unit = {}
+    for did, _, u in units:
+        docs_per_unit.setdefault(u, set()).add(did)
+    hot = {u for u, d in docs_per_unit.items() if len(d) >= min_docs}
+    keeper = {}
+    for did, pos, u in units:
+        if u in hot and (u not in keeper or (did, pos) < keeper[u]):
+            keeper[u] = (did, pos)
+    out = {}
+    for did, text in enumerate(texts):
+        doc_units = [(p, u) for d, p, u in units if d == did]
+        if keep == "one":
+            kept = [u for p, u in doc_units if u not in hot or keeper[u] == (did, p)]
+        else:
+            kept = [u for p, u in doc_units if u not in hot]
+        out[did] = (len(doc_units), len(doc_units) - len(kept), "\n".join(kept))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts=_doc_texts, min_docs=st.sampled_from([2, 3]), keep=st.sampled_from(["one", "none"]))
+def test_dedup_units_matches_model(spark, texts, min_docs, keep):
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    ).repartition(3)  # exercise the distributed path, not one partition
+    cleaned, _ = dedup_units(docs, sep="\n", min_docs=min_docs, keep=keep)
+    got = {r.doc_id: (r.n_units, r.n_removed, r.cleaned_text) for r in cleaned.collect()}
+    assert got == _model_dedup(texts, min_docs, keep)
