@@ -176,6 +176,20 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaned.orderBy("doc_id")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (GPT-3-style n-gram overlap): docs whose
+    8-token grams appear in a held-out benchmark slice (doc_id % 5 == 0)
+    are flagged with per-doc hit counts (webdedup.decontaminate).  The
+    bench-gram set is broadcast; the corpus side never shuffles."""
+    from webdedup.decontaminate import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    stats, _metrics = decontaminate(corpus, bench, n=8, min_hits=1)
+    return stats.orderBy("doc_id")
+
+
 def q_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/token-set Jaccard near-dup pairs within a language block.
 
@@ -709,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "repetition_stats": q_repetition_stats,
         "chunk_dedup": q_chunk_dedup,
+        "decontaminate": q_decontaminate,
         "lang_id": q_lang_id,
         "rolling_fingerprint": q_rolling_fingerprint,
         "embedding_neardup": q_embedding_neardup,
@@ -843,6 +858,39 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.dup_gram_frac, 0.0) AS dup_gram_frac,
                    coalesce(s.top_gram_share, 0.0) AS top_gram_share
             FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
+        """,
+        "decontaminate": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+              FROM t, unnest(range(1, len(toks) - 6)) AS r(i)
+              WHERE len(toks) >= 8
+            ), bg AS (
+              SELECT DISTINCT g FROM g WHERE doc_id % 5 = 0
+            ), cg AS (
+              SELECT doc_id, g FROM g WHERE doc_id % 5 <> 0
+            ), hits AS (
+              SELECT doc_id, count(*) AS n_contaminated
+              FROM cg JOIN bg USING (g) GROUP BY doc_id
+            ), totals AS (
+              SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(totals.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(hits.n_contaminated, 0) AS BIGINT)
+                     AS n_contaminated,
+                   round(coalesce(hits.n_contaminated, 0) * 1.0
+                         / greatest(coalesce(totals.n_grams, 0), 1), 6)
+                     AS contaminated_frac,
+                   coalesce(hits.n_contaminated, 0) >= 1 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
+            LEFT JOIN totals USING (doc_id)
+            LEFT JOIN hits USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "chunk_dedup": r"""
             WITH t AS (

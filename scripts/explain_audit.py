@@ -23,6 +23,7 @@ AUDIT = [
     "quality_scores",
     "repetition_stats",
     "chunk_dedup",
+    "decontaminate",
     "events_windowed",
     "user_sessions",
 ]
