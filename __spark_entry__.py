@@ -190,6 +190,57 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.orderBy("doc_id")
 
 
+def _pii_scrub_oracle() -> str:
+    """DuckDB oracle for q_pii_scrub, generated from the SAME pattern table
+    (webdedup.scrub.PII_PATTERNS) the Spark query uses."""
+    from webdedup.scrub import pii_oracle_sql
+
+    injected = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com call +1 555 0'"
+        " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+        " || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    )
+    counts, scrubbed = pii_oracle_sql(f"({injected})")
+    return f"""
+        SELECT doc_id,
+               CAST({counts["n_email"]} AS INT) AS n_email,
+               CAST({counts["n_ipv4"]} AS INT) AS n_ipv4,
+               CAST({counts["n_phone"]} AS INT) AS n_phone,
+               {scrubbed} AS scrubbed
+        FROM documents ORDER BY doc_id
+    """
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4 / phone numbers -> tokens) with
+    per-category match counts (webdedup.scrub) — pure Catalyst, map-only.
+    The synthetic corpus contains no PII, so the query injects a
+    deterministic doc_id-derived contact line first; the oracle injects the
+    identical line, so the scrubber is exercised on real matches."""
+    from webdedup.scrub import scrub_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call +1 555 0"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit(" host 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    cols = scrub_pii(injected)
+    return docs.select(
+        "doc_id",
+        cols["n_email"].alias("n_email"),
+        cols["n_ipv4"].alias("n_ipv4"),
+        cols["n_phone"].alias("n_phone"),
+        cols["scrubbed"].alias("scrubbed"),
+    ).orderBy("doc_id")
+
+
 def q_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/token-set Jaccard near-dup pairs within a language block.
 
@@ -724,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "chunk_dedup": q_chunk_dedup,
         "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
         "lang_id": q_lang_id,
         "rolling_fingerprint": q_rolling_fingerprint,
         "embedding_neardup": q_embedding_neardup,
@@ -859,6 +911,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.top_gram_share, 0.0) AS top_gram_share
             FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
         """,
+        "pii_scrub": _pii_scrub_oracle(),
         "decontaminate": r"""
             WITH t AS (
               SELECT doc_id,

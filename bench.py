@@ -33,6 +33,8 @@ HEADLINE = [
     "quality_scores",
     "repetition_stats",
     "chunk_dedup",
+    "decontaminate",
+    "pii_scrub",
     "lang_id",
     "doc_fingerprint",
     "media_features",

@@ -24,6 +24,7 @@ AUDIT = [
     "repetition_stats",
     "chunk_dedup",
     "decontaminate",
+    "pii_scrub",
     "events_windowed",
     "user_sessions",
 ]
