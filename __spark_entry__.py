@@ -190,6 +190,17 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.orderBy("doc_id")
 
 
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style quality gate (token-count bounds, mean token
+    length, alnum ratio, stop-word evidence, duplicated-bigram ceiling)
+    with per-rule booleans + final keep (webdedup.textstats.gopher_filter).
+    Scalar rules are map-only; the repetition rule is one doc-keyed join."""
+    from webdedup.textstats import gopher_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_filter(docs, stopwords=_STOPWORDS).orderBy("doc_id")
+
+
 def _pii_scrub_oracle() -> str:
     """DuckDB oracle for q_pii_scrub, generated from the SAME pattern table
     (webdedup.scrub.PII_PATTERNS) the Spark query uses."""
@@ -776,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
+        "gopher_filter": q_gopher_filter,
         "lang_id": q_lang_id,
         "rolling_fingerprint": q_rolling_fingerprint,
         "embedding_neardup": q_embedding_neardup,
@@ -912,6 +924,48 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
         """,
         "pii_scrub": _pii_scrub_oracle(),
+        "gopher_filter": rf"""
+            WITH t AS (
+              SELECT doc_id, length(text) AS nc,
+                     CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+                     length(regexp_replace(text, '[^\p{{L}}\p{{N}}]', '', 'g'))
+                       AS al
+              FROM documents
+            ), s AS (
+              SELECT doc_id, nc, len(toks) AS nt,
+                     len(list_filter(toks, x -> x IN ({stop_list}))) AS stop,
+                     al
+              FROM t
+            ), g AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+              FROM t, unnest(range(1, len(toks))) AS r(i)
+              WHERE len(toks) >= 2
+            ), pg AS (
+              SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2
+            ), rep AS (
+              SELECT doc_id,
+                     round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0
+                           / sum(c), 6) <= 0.5 AS ok_repetition
+              FROM pg GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   CAST(nt AS BIGINT) AS n_tokens,
+                   nt BETWEEN 50 AND 100000 AS ok_length,
+                   (nc - (nt - 1)) * 1.0 / greatest(nt, 1) BETWEEN 3.0 AND 10.0
+                     AS ok_mean_len,
+                   al * 1.0 / greatest(nc, 1) >= 0.6 AS ok_alnum,
+                   stop >= 2 AS ok_stopwords,
+                   coalesce(rep.ok_repetition, TRUE) AS ok_repetition,
+                   (nt BETWEEN 50 AND 100000)
+                     AND ((nc - (nt - 1)) * 1.0 / greatest(nt, 1)
+                          BETWEEN 3.0 AND 10.0)
+                     AND (al * 1.0 / greatest(nc, 1) >= 0.6)
+                     AND (stop >= 2)
+                     AND coalesce(rep.ok_repetition, TRUE) AS keep
+            FROM s LEFT JOIN rep USING (doc_id)
+            ORDER BY s.doc_id
+        """,
         "decontaminate": r"""
             WITH t AS (
               SELECT doc_id,

@@ -35,6 +35,7 @@ HEADLINE = [
     "chunk_dedup",
     "decontaminate",
     "pii_scrub",
+    "gopher_filter",
     "lang_id",
     "doc_fingerprint",
     "media_features",

@@ -25,6 +25,7 @@ AUDIT = [
     "chunk_dedup",
     "decontaminate",
     "pii_scrub",
+    "gopher_filter",
     "events_windowed",
     "user_sessions",
 ]

@@ -140,3 +140,32 @@ def test_extract_text_roundtrip(spark, corpus):
         "html binary",
     )
     assert df.select(extract_text(F.col("html"))).first()[0] == "a & b"
+
+
+def test_gopher_filter_rules(spark):
+    from webdedup.textstats import gopher_filter
+
+    # 60 tokens, all bigrams distinct (wi unique), ample stopword evidence
+    long_good = " ".join(f"the word{i}" for i in range(30))
+    rows = [
+        (1, long_good),                     # passes everything
+        (2, "the of and to a"),             # too short (5 toks)
+        (3, ("the " + "a" * 40 + " of ") * 20),  # mean token len > 10
+        (4, ("@@@ ### !!! " * 30) + "the of"),   # alnum ratio < 0.6
+        (5, "word " * 60),                  # no stopword hits
+        (6, "the of " * 40),                # all bigrams duplicated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: r
+        for r in gopher_filter(docs, stopwords=("the", "a", "of", "and", "to")).collect()
+    }
+    assert got[1].keep and all(
+        getattr(got[1], c)
+        for c in ("ok_length", "ok_mean_len", "ok_alnum", "ok_stopwords", "ok_repetition")
+    )
+    assert not got[2].ok_length and not got[2].keep
+    assert not got[3].ok_mean_len and not got[3].keep
+    assert not got[4].ok_alnum and not got[4].keep
+    assert not got[5].ok_stopwords and not got[5].keep
+    assert not got[6].ok_repetition and not got[6].keep

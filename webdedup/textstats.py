@@ -236,3 +236,84 @@ def quality_features(text: Column, stopwords: tuple[str, ...]) -> dict[str, Colu
         "mean_token_len": (n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1)),
         "alnum_ratio": alnum_chars / F.greatest(n_chars, F.lit(1)),
     }
+
+
+def gopher_filter(
+    df,
+    stopwords: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+    min_alnum_ratio: float = 0.6,
+    min_stopword_hits: int = 2,
+    max_dup_gram_frac: float = 0.5,
+    dup_n: int = 2,
+):
+    """Composite document-quality gate — the Gopher-style rule battery
+    (Rae et al. 2021, public) a training pipeline runs before dedup:
+    token-count bounds, mean-token-length bounds, alphanumeric-character
+    ratio, minimum stop-word evidence, and a duplicated-n-gram ceiling.
+
+    Returns (id_col, n_tokens, ok_length, ok_mean_len, ok_alnum,
+    ok_stopwords, ok_repetition, keep) for EVERY doc; keep = all rules
+    pass.  Per-rule booleans are kept so a pipeline can report WHY a page
+    was dropped (filters are audited, not silent).
+
+    Plan shape (the 100 TB story): the five scalar rules are one map-only
+    pass (tokenize once, whole-stage codegen); the repetition rule joins
+    repetition_stats' doc-keyed aggregate back on the doc id — per-doc
+    keys, skew-free, one shuffle.  The gate composes with scrub/dedup as a
+    plain filter on `keep`."""
+    toks_c = "__gf_toks"
+    staged = df.withColumn(toks_c, ws_tokens(F.col(text_col)))
+    toks = F.col(toks_c)
+    scalars = staged.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        F.length(text_col).alias("__nc"),
+        F.size(F.filter(toks, lambda t: t.isin(*stopwords))).alias("__stop"),
+        F.length(F.regexp_replace(text_col, r"[^\p{L}\p{N}]", "")).alias(
+            "__alnum"
+        ),
+    )
+    denom = F.greatest(F.col("n_tokens"), F.lit(1))
+    mean_len = (F.col("__nc") - (F.col("n_tokens") - 1)) / denom
+    alnum_ratio = F.col("__alnum") / F.greatest(F.col("__nc"), F.lit(1))
+    rules = scalars.select(
+        id_col,
+        "n_tokens",
+        ((F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)).alias(
+            "ok_length"
+        ),
+        (
+            (mean_len >= min_mean_token_len) & (mean_len <= max_mean_token_len)
+        ).alias("ok_mean_len"),
+        (alnum_ratio >= min_alnum_ratio).alias("ok_alnum"),
+        (F.col("__stop") >= min_stopword_hits).alias("ok_stopwords"),
+    )
+    rep = repetition_stats(df, n=dup_n, id_col=id_col, text_col=text_col).select(
+        id_col, (F.col("dup_gram_frac") <= max_dup_gram_frac).alias("ok_repetition")
+    )
+    # rep is a corpus-sized agg output (one row per doc): pin shuffle_hash
+    # (same posture as repetition_stats' own rejoin)
+    out = rules.join(rep.hint("shuffle_hash"), id_col, "left")
+    keep = (
+        F.col("ok_length")
+        & F.col("ok_mean_len")
+        & F.col("ok_alnum")
+        & F.col("ok_stopwords")
+        & F.col("ok_repetition")
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "ok_length",
+        "ok_mean_len",
+        "ok_alnum",
+        "ok_stopwords",
+        F.coalesce("ok_repetition", F.lit(True)).alias("ok_repetition"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
