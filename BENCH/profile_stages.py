@@ -52,6 +52,14 @@ def main() -> None:
         }
     spark = get_spark(app_name=f"profile-{cores}", cores=cores, extra_conf=extra)
     warm_python_workers(spark, cores)
+    if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
+        from webdedup.synth import generate_pages, pages_to_spark
+
+        n_docs = int(os.environ.get("PROF_NDOCS", "8000"))
+        pages_pd, _, _ = generate_pages(n_docs=n_docs, seed=42)
+        pages_to_spark(spark, pages_pd, partitions=32).write.mode(
+            "overwrite"
+        ).parquet(input_dir)
     pages = spark.read.parquet(input_dir).persist()
     n = pages.count()
     print(f"docs={n} cores={cores}", flush=True)
