@@ -19,10 +19,12 @@ run() {
 }
 
 python BENCH/prewarm.py >/dev/null 2>&1
-run "base_g1_64g"
+# session.py defaults an unset SPARK_DRIVER_JAVA_OPTS to ParallelGC, so
+# the G1 rows must request G1 explicitly or they'd measure ParallelGC
+run "base_g1_64g" SPARK_DRIVER_JAVA_OPTS="-XX:+UseG1GC"
 run "parallel_gc" SPARK_DRIVER_JAVA_OPTS="-XX:+UseParallelGC"
-run "g1_32g_heap" SPARK_DRIVER_MEMORY=32g
+run "g1_32g_heap" SPARK_DRIVER_JAVA_OPTS="-XX:+UseG1GC" SPARK_DRIVER_MEMORY=32g
 run "parallel_gc_32g" SPARK_DRIVER_JAVA_OPTS="-XX:+UseParallelGC" SPARK_DRIVER_MEMORY=32g
-run "offheap16_g1_32g" SPARK_DRIVER_MEMORY=32g \
+run "offheap16_g1_32g" SPARK_DRIVER_JAVA_OPTS="-XX:+UseG1GC" SPARK_DRIVER_MEMORY=32g \
   SPARK_EXTRA_CONF="spark.memory.offHeap.enabled=true;spark.memory.offHeap.size=16g"
 echo "=== done ($(date +%H:%M:%S))" | tee -a "$LOG"

@@ -93,7 +93,13 @@ def main() -> None:
     prewarm_memory(int(os.environ.get("SPARK_GRAFT_PREWARM_GB", "24")))
     warm_python_workers(spark, cpus)
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
-    force(qs["minhash_clusters"](spark, "/root/testdata/sf0.001"))
+    # warm against sf0.001 when present (cheapest), else the bench dir
+    # itself — a custom SPARK_GRAFT_SF_DIR must not crash the whole bench
+    # on a machine without /root/testdata
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{warm_dir}/documents.parquet"):
+        warm_dir = sf_dir
+    force(qs["minhash_clusters"](spark, warm_dir))
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}

@@ -110,6 +110,25 @@ def test_canonical_url_and_url_candidates(spark):
         "https://site0.example/P/1",          # path IS case-sensitive
         "https://site0.example/p/1?x=1",      # query kept
     ]
+    # upper-case www. strips; a path-less url's query string is NOT part
+    # of the host (params are case-significant page identity)
+    df2 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [
+                    "http://WWW.Site0.example/p/1",
+                    "https://site0.example?Token=AbC",
+                    "https://Site0.example/p?q=a/B",
+                ]
+            }
+        )
+    )
+    canon2 = [r[0] for r in df2.select(canonical_url(F.col("url"))).collect()]
+    assert canon2 == [
+        "site0.example/p/1",
+        "site0.example?Token=AbC",
+        "site0.example/p?q=a/B",
+    ]
     df = spark.createDataFrame(
         pd.DataFrame({"url": variants + others})
     )

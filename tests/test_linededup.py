@@ -106,7 +106,7 @@ def test_repetition_stats(spark):
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-_LINE_POOL = ["aa", "bb", "cc", "d d", "", " ", "ee ff"]
+_LINE_POOL = ["aa", "bb", "cc", "d d", "", " ", "ee ff", "\t", "\r", "\xa0"]
 _doc_texts = st.lists(
     st.lists(st.sampled_from(_LINE_POOL), min_size=0, max_size=5).map("\n".join),
     min_size=1,

@@ -159,6 +159,18 @@ def test_checkpoint_resume_validates_data(spark, corpus, cfg, tmp_path):
     assert ev["clusters"] == "resumed"
     assert Path(data_dir, "_SUCCESS").exists()  # snapshot rebuilt
 
+    # harsher variant: _SUCCESS survives but every part file is gone —
+    # the read/count raises, which must fall through to recompute, not
+    # wedge the run
+    for f in data_dir.iterdir():
+        if f.name != "_SUCCESS" and f.is_file():
+            f.unlink()
+        elif f.is_dir():
+            shutil.rmtree(f)
+    out = run_dedup(spark, corpus["pages"], cfg, checkpoint_dir=str(ck), with_golden=False)
+    ev = {e["stage"]: e["action"] for e in out["_checkpointer"].events}
+    assert ev["signatures"] == "computed"
+
 
 def test_ml_decision_path_recall(spark, corpus, cfg):
     """The reference flagship's learned path (pruningpipe.py:59-135 +

@@ -166,6 +166,71 @@ def test_incremental_stream_driver(spark, tmp_path):
     assert read_state(spark, state_dir).count() == 30
 
 
+def test_stream_after_batch_state_preserves_epochs(spark, tmp_path):
+    """A FRESH stream checkpoint (batchId restarting at 0) must not
+    overwrite epochs already committed by batch-mode process_batch, and
+    must match new rows against that prior state (epoch base pinned
+    alongside the checkpoint)."""
+    from webdedup.streaming import (
+        _committed_epochs,
+        process_batch,
+        read_state,
+        run_incremental,
+    )
+    from webdedup.synth import generate_pages, pages_to_spark
+
+    cfg = DedupConfig()
+    pages_pd, _, _ = generate_pages(n_docs=60, seed=6)
+    sdf = pages_to_spark(spark, pages_pd)
+    state_dir = str(tmp_path / "state")
+
+    # batch mode commits epoch 0
+    process_batch(spark, sdf.limit(30), state_dir, cfg).count()
+    batch_state = {
+        (r["url"], r["gid"])
+        for r in read_state(spark, state_dir).select("url", "gid").collect()
+    }
+    assert _committed_epochs(state_dir) == [0]
+
+    # fresh stream on the same state_dir: its batchId 0 must land on epoch 1
+    src = tmp_path / "src"
+    sdf.coalesce(1).write.mode("append").parquet(str(src))
+    q = run_incremental(spark, str(src), state_dir, cfg)
+    q.awaitTermination(120)
+
+    assert _committed_epochs(state_dir) == [0, 1]
+    state = read_state(spark, state_dir)
+    # epoch 0 rows survive byte-identically; stream rows for the same urls
+    # live in epoch 1 (the stream re-saw all 60), so total = 30 + 60
+    assert state.count() == 90
+    epoch0 = {
+        (r["url"], r["gid"])
+        for r in read_state(spark, state_dir, before_epoch=1)
+        .select("url", "gid")
+        .collect()
+    }
+    assert epoch0 == batch_state
+
+
+def test_flat_state_layout_rejected(spark, tmp_path):
+    """Pre-epoch flat state files must raise, not be silently ignored."""
+    import pytest
+
+    from webdedup.streaming import process_batch
+    from webdedup.synth import generate_pages, pages_to_spark
+
+    cfg = DedupConfig()
+    pages_pd, _, _ = generate_pages(n_docs=20, seed=6)
+    sdf = pages_to_spark(spark, pages_pd)
+    state_dir = str(tmp_path / "state")
+    # simulate the old append-mode layout: parquet directly under state/
+    sdf.limit(5).coalesce(1).write.mode("append").parquet(
+        str(tmp_path / "state" / "state")
+    )
+    with pytest.raises(ValueError, match="flat"):
+        process_batch(spark, sdf, state_dir, cfg).count()
+
+
 def test_stateful_exact_dedup(spark, tmp_path):
     """applyInPandasWithState exact dedup: keyed state survives across
     microbatches (a later batch's duplicate joins the FIRST batch's group),

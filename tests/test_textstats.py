@@ -140,6 +140,11 @@ def test_extract_text_roundtrip(spark, corpus):
         "html binary",
     )
     assert df.select(extract_text(F.col("html"))).first()[0] == "a & b"
+    # double-escaped entities decode exactly one level ('&amp;' last)
+    df = spark.createDataFrame(
+        [(b"<p>a &amp;lt; b &lt; c</p>",)], "html binary"
+    )
+    assert df.select(extract_text(F.col("html"))).first()[0] == "a &lt; b < c"
 
 
 def test_gopher_filter_rules(spark):

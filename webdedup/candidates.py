@@ -21,6 +21,8 @@ Output candidate schema mirrors the reference's ES output
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -33,13 +35,24 @@ from webdedup.config import DedupConfig
 # MATERIALIZED (stage parquet write or persisted-and-counted) the caches are
 # dead weight — release_key_caches() frees them so repeated run_dedup calls
 # or streaming batches in one long-lived session don't accumulate cached
-# blocks for the process lifetime.
-_PERSISTED_KEY_TABLES: list[DataFrame] = []
+# blocks for the process lifetime.  The registry is THREAD-LOCAL: two
+# pipelines running on different threads of one SparkSession must not
+# release each other's key tables mid-job.  Library callers that invoke
+# substring_candidates/verify_overlaps directly own the release — call
+# release_key_caches() (same thread) once the results are materialized.
+_TL = threading.local()
+
+
+def _registry() -> list[DataFrame]:
+    if not hasattr(_TL, "tables"):
+        _TL.tables = []
+    return _TL.tables
 
 
 def release_key_caches() -> None:
-    while _PERSISTED_KEY_TABLES:
-        _PERSISTED_KEY_TABLES.pop().unpersist()
+    reg = _registry()
+    while reg:
+        reg.pop().unpersist()
 
 
 def bucket_stats(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -99,7 +112,7 @@ def _pairs_from_keys(
         from pyspark import StorageLevel
 
         keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
-        _PERSISTED_KEY_TABLES.append(keys)
+        _registry().append(keys)
     stats = bucket_stats(keys, cfg)
     ok = stats.where(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= max_bucket)
@@ -138,7 +151,7 @@ def _pairs_from_keys(
         # the self-join scans pruned twice; persisting it also stops the
         # bucket-stats agg chain from being recomputed per side
         pruned = pruned.persist(StorageLevel.MEMORY_AND_DISK)
-        _PERSISTED_KEY_TABLES.append(pruned)
+        _registry().append(pruned)
     a, b = f"{id_col}_a", f"{id_col}_b"
     left = pruned.select(
         F.col("key_idx"),
@@ -312,30 +325,30 @@ def simhash_candidates(
     return rejoin_urls(pairs_did, doc_ids(signatures)), skew
 
 
-def exact_candidates(pages: DataFrame, did_pairs: bool = False) -> DataFrame:
-    """Exact-duplicate pairs via text-hash grouping (the hash-groupBy dedup).
+def _star_pairs(
+    keyed: DataFrame, key_col: str, method: str, did_pairs: bool
+) -> DataFrame:
+    """Min-url star pairs over a (url, key) frame — the shared shape of
+    exact_candidates and url_candidates.
 
-    Pairs each doc in a hash group with the group's minimum url — linear in
+    Pairs each doc in a key group with the group's minimum url — linear in
     group size (a star, not a clique); connected components restores the
     full group downstream.  did_pairs=True projects the star edges to
     (did_a, did_b) for the pipeline's did-space union (the star root stays
     the min-URL doc; only the encoding changes, so components — and the
     min-url gids CC derives — are identical).
     """
-    hashed = pages.select(
-        "url", F.xxhash64(F.coalesce(F.col("text"), F.lit(""))).alias("text_hash")
-    )
-    keeper = hashed.groupBy("text_hash").agg(
+    keeper = keyed.groupBy(key_col).agg(
         F.min("url").alias("url_a"), F.count("*").alias("n")
     )
-    # keeper is corpus-sized (one row per distinct text) — the shuffle_hash
+    # keeper is corpus-sized (one row per distinct key) — the shuffle_hash
     # pin keeps the planner from broadcasting it off a bad agg-output
-    # estimate, and reuses the groupBy's text_hash exchange without a sort
+    # estimate, and reuses the groupBy's key exchange without a sort
     out = (
-        hashed.join(keeper.where(F.col("n") >= 2).hint("shuffle_hash"), "text_hash")
+        keyed.join(keeper.where(F.col("n") >= 2).hint("shuffle_hash"), key_col)
         .where(F.col("url") != F.col("url_a"))
         .select("url_a", F.col("url").alias("url_b"))
-        .withColumn("method", F.lit("exact"))
+        .withColumn("method", F.lit(method))
     )
     if did_pairs:
         h_a, h_b = F.xxhash64("url_a"), F.xxhash64("url_b")
@@ -345,6 +358,15 @@ def exact_candidates(pages: DataFrame, did_pairs: bool = False) -> DataFrame:
             "method",
         )
     return out
+
+
+def exact_candidates(pages: DataFrame, did_pairs: bool = False) -> DataFrame:
+    """Exact-duplicate pairs via text-hash grouping (the hash-groupBy dedup).
+    Star/keeper semantics: see _star_pairs."""
+    hashed = pages.select(
+        "url", F.xxhash64(F.coalesce(F.col("text"), F.lit(""))).alias("text_hash")
+    )
+    return _star_pairs(hashed, "text_hash", "exact", did_pairs)
 
 
 def union_candidates(*sources: DataFrame) -> DataFrame:
@@ -380,24 +402,8 @@ def url_candidates(pages: DataFrame, did_pairs: bool = False) -> DataFrame:
     exact_candidates: each member pairs with the group's min url, CC
     restores the full group downstream.  In a Common-Crawl pipeline this
     runs BEFORE content dedup — it needs no text at all, so the scan reads
-    one string column."""
+    one string column.  Star/keeper semantics: see _star_pairs."""
     from webdedup.normalize import canonical_url
 
     keyed = pages.select("url", canonical_url(F.col("url")).alias("curl"))
-    keeper = keyed.groupBy("curl").agg(
-        F.min("url").alias("url_a"), F.count("*").alias("n")
-    )
-    out = (
-        keyed.join(keeper.where(F.col("n") >= 2).hint("shuffle_hash"), "curl")
-        .where(F.col("url") != F.col("url_a"))
-        .select("url_a", F.col("url").alias("url_b"))
-        .withColumn("method", F.lit("url"))
-    )
-    if did_pairs:
-        h_a, h_b = F.xxhash64("url_a"), F.xxhash64("url_b")
-        out = out.select(
-            F.least(h_a, h_b).alias("did_a"),
-            F.greatest(h_a, h_b).alias("did_b"),
-            "method",
-        )
-    return out
+    return _star_pairs(keyed, "curl", "url", did_pairs)

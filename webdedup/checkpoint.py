@@ -99,8 +99,15 @@ class Checkpointer:
                 # exists AND the row count still matches what the manifest
                 # recorded; otherwise fall through and recompute.
                 if (data_dir / "_SUCCESS").exists():
-                    snap = self.spark.read.parquet(str(data_dir))
-                    if snap.count() == manifest.get("row_count"):
+                    try:
+                        snap = self.spark.read.parquet(str(data_dir))
+                        ok = snap.count() == manifest.get("row_count")
+                    except Exception:
+                        # _SUCCESS survived but the part files didn't (all
+                        # deleted -> AnalysisException; truncated -> decode
+                        # error): recompute rather than wedging the run
+                        ok = False
+                    if ok:
                         self._stage_hashes[name] = identity
                         self.events.append({"stage": name, "action": "resumed"})
                         return snap

@@ -102,27 +102,30 @@ def decontaminate(
         hits = doc_grams.join(bench_set.hint("shuffle_hash"), "gh")
     per_doc = hits.groupBy(id_col).agg(F.count("*").alias("n_contaminated"))
 
-    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    # totals/per_doc are corpus-sized agg outputs (one row per doc): pin
-    # shuffle_hash so a low static estimate can never broadcast them; the
-    # joins reuse the aggregations' doc-keyed exchanges
-    stats = (
-        docs.select(id_col)
-        .join(totals.hint("shuffle_hash"), id_col, "left")
-        .join(per_doc.hint("shuffle_hash"), id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            F.round(
-                F.coalesce("n_contaminated", F.lit(0))
-                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
-                6,
-            ).alias("contaminated_frac"),
-            (F.coalesce("n_contaminated", F.lit(0)) >= min_hits).alias(
-                "contaminated"
-            ),
-        )
+    # n_grams is closed-form (gram_array yields max(len(toks)-n+1, 0)
+    # grams): a map-only column on docs, NOT a second corpus-wide gram
+    # explode + doc-keyed agg — that branch would double the operator's
+    # scan-side work and add a shuffle for a count we can compute per row.
+    # per_doc is a corpus-sized agg output (one row per contaminated doc):
+    # pin shuffle_hash so a low static estimate can never broadcast it.
+    base = docs.select(
+        id_col,
+        F.greatest(
+            F.size(ws_tokens(F.col(text_col))) - F.lit(n - 1), F.lit(0)
+        ).alias("n_grams"),
+    )
+    stats = base.join(per_doc.hint("shuffle_hash"), id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        F.round(
+            F.coalesce("n_contaminated", F.lit(0))
+            / F.greatest(F.col("n_grams"), F.lit(1)),
+            6,
+        ).alias("contaminated_frac"),
+        (F.coalesce("n_contaminated", F.lit(0)) >= min_hits).alias(
+            "contaminated"
+        ),
     )
     metrics = bench_set.agg(F.count("*").alias("bench_grams")).crossJoin(
         dropped.agg(F.count("*").alias("dropped_hot_grams"))

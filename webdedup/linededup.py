@@ -55,7 +55,10 @@ def split_units(
             F.col(id_col),
             F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "unit"),
         )
-        return units.where(F.length(F.trim("unit")) > 0)
+        # rlike (?U)\S == python str.strip() truthiness: F.trim strips only
+        # ASCII spaces, which would keep tab/CR/NBSP-only lines (e.g. the
+        # '\r' residue of CRLF corpora split on '\n') as corpus-hot units.
+        return units.where(F.col("unit").rlike(r"(?U)\S"))
     toks = ws_tokens(F.col(text_col))
     n = F.size(toks)
     w = int(chunk_width)

@@ -133,8 +133,11 @@ def canonical_url(col: Column) -> Column:
     (candidates.url_candidates)."""
     u = F.regexp_replace(col, r"#.*$", "")
     u = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
-    u = F.regexp_replace(u, r"^www\.", "")
-    host = F.substring_index(u, "/", 1)
+    u = F.regexp_replace(u, r"(?i)^www\.", "")
+    # authority ends at the first '/' OR '?': substring_index alone would
+    # treat a path-less url's query string as part of the host and
+    # lowercase it (query params are case-significant page identity).
+    host = F.regexp_extract(u, r"^[^/?]*", 0)
     u = F.concat(F.lower(host), u.substr(F.length(host) + 1, F.length(u)))
     return F.regexp_replace(u, r"/+$", "")
 
@@ -154,9 +157,12 @@ def extract_text(html: Column) -> Column:
     s = html.try_cast("string")
     s = F.regexp_replace(s, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
     s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    # '&amp;' decodes LAST: decoding it first would double-decode
+    # double-escaped entities ('&amp;lt;' must yield the literal '&lt;',
+    # not '<').
     for ent, rep in (
-        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-        ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
     ):
         s = F.replace(s, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(s, r"\s+", " "))

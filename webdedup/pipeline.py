@@ -47,6 +47,14 @@ def run_dedup(
     or 'ml' (the reference flagship's learned path: question-loop label
     budget from ``truth_pairs`` -> GBT -> PruningPipe assembly; requires
     ``truth_pairs`` with (url_a, url_b) of known matches).
+
+    EAGER by contract: this runner executes the stages at call time even
+    without a checkpoint_dir (the candidate count sizes the feature
+    repartition, triage collects its thresholds, CC iterates) and releases
+    the candidate key-table caches before returning.  A caller that wants
+    ONE stage lazily should call that stage's function directly
+    (compute_signatures, candidates.minhash_candidates, ...) — they
+    compose on plain DataFrames.
     """
     if decision not in ("rule", "ml"):
         raise ValueError("decision must be 'rule' or 'ml'")
@@ -112,8 +120,12 @@ def run_dedup(
     def candidate_metrics(_out: DataFrame) -> dict:
         """Per-method dropped skew mass -> the stage manifest, so a run can
         audit what the bucket caps cost (north rule: capped mass is
-        reported, never silent).  One tiny union job over the 1-row skew
-        aggregates; the key tables feeding them are still cached here."""
+        reported, never silent).  Cost: the minhash/simhash skew aggregates
+        re-run their band/block explode + two-phase count from the
+        signatures snapshot (those key tables are deliberately NOT
+        persisted — pinning the job's dominant shuffle payload in RAM to
+        save one bounded metrics job is the wrong trade at scale); the
+        substring aggregates read their persisted key tables."""
         if not skew_sources:
             return {}
         from functools import reduce

@@ -33,6 +33,17 @@ def _state_path(state_dir: str) -> Path:
 
 def _committed_epochs(state_dir: str) -> list[int]:
     p = _state_path(state_dir)
+    if p.exists() and any(
+        f.suffix == ".parquet" or f.name == "_SUCCESS" for f in p.iterdir()
+    ):
+        # parquet files directly under state/ are a pre-epoch flat layout;
+        # silently globbing only epoch=* would make all prior assignments
+        # invisible (every historical duplicate would found a new gid)
+        raise ValueError(
+            f"{p} holds flat (pre-epoch) state files; expected "
+            "state/epoch=<n>/ directories — move the old files into "
+            "epoch=0/ (with a _SUCCESS marker) to migrate"
+        )
     return sorted(
         int(d.name.split("=", 1)[1])
         for d in p.glob("epoch=*")
@@ -309,12 +320,31 @@ def run_incremental(
         .parquet(source_dir)
     )
 
+    # A FRESH stream checkpoint restarts batchId at 0, which would
+    # overwrite epoch directories already committed by earlier batch-mode
+    # process_batch calls (or an earlier, discarded checkpoint) AND hide
+    # them from read_state(before_epoch=0).  Pin an epoch base alongside
+    # the checkpoint: first start maps batchId 0 past every committed
+    # epoch; restarts of the SAME checkpoint reuse the stored base, so a
+    # replayed batchId still lands on its identical epoch directory.
+    ckpt = Path(state_dir) / "_stream_checkpoint"
+    base_marker = ckpt / "epoch_base.txt"
+    if base_marker.exists():
+        epoch_base = int(base_marker.read_text())
+    else:
+        committed = _committed_epochs(state_dir)
+        epoch_base = (committed[-1] + 1) if committed else 0
+        ckpt.mkdir(parents=True, exist_ok=True)
+        base_marker.write_text(str(epoch_base))
+
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        process_batch(spark, batch_df, state_dir, cfg, epoch_id=epoch_id)
+        process_batch(
+            spark, batch_df, state_dir, cfg, epoch_id=epoch_base + epoch_id
+        )
 
     return (
         stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", f"{state_dir}/_stream_checkpoint")
+        .option("checkpointLocation", str(ckpt))
         .trigger(availableNow=True)
         .start()
     )

@@ -214,9 +214,9 @@ def verify_overlaps(
     sized = grams.withColumn("d", F.count(F.lit(1)).over(w)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    from webdedup.candidates import _PERSISTED_KEY_TABLES
+    from webdedup.candidates import _registry
 
-    _PERSISTED_KEY_TABLES.append(sized)
+    _registry().append(sized)
     shared = sized.where(
         (F.col("d") >= 2) & (F.col("d") <= cfg.verify_max_docs)
     ).drop("d")
