@@ -392,14 +392,21 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling k-gram min-hash document fingerprint (md5 portable variant)."""
-    from webdedup.textstats import rolling_fingerprint
+    """Rolling k-gram min-hash document fingerprint (md5 portable variant).
+    Token array staged before the window HOF (gram_array's trap)."""
+    from webdedup.textstats import rolling_fingerprint_from_tokens, ws_tokens
 
     docs = _read(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        rolling_fingerprint(F.col("text"), k=5, hash_fn="md5").alias("fingerprint"),
-    ).orderBy("doc_id")
+    return (
+        docs.select("doc_id", ws_tokens(F.col("text")).alias("__toks"))
+        .select(
+            "doc_id",
+            rolling_fingerprint_from_tokens(
+                F.col("__toks"), k=5, hash_fn="md5"
+            ).alias("fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,10 +49,13 @@ def _gram_hashes(
     df: DataFrame, n: int, id_col: str, text_col: str
 ) -> DataFrame:
     """(id_col, gh) — one row per gram position, gh = xxhash64(gram)."""
-    return df.select(
-        F.col(id_col),
-        F.explode(gram_array(ws_tokens(F.col(text_col)), n)).alias("_g"),
-    ).select(id_col, F.xxhash64("_g").alias("gh"))
+    # token array staged before the gram HOF (gram_array's bound-attribute
+    # contract — an inline ws_tokens re-tokenizes per gram position)
+    return (
+        df.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col), F.explode(gram_array(F.col("__toks"), n)).alias("_g"))
+        .select(id_col, F.xxhash64("_g").alias("gh"))
+    )
 
 
 def decontaminate(

@@ -59,7 +59,9 @@ def split_units(
         # ASCII spaces, which would keep tab/CR/NBSP-only lines (e.g. the
         # '\r' residue of CRLF corpora split on '\n') as corpus-hot units.
         return units.where(F.col("unit").rlike(r"(?U)\S"))
-    toks = ws_tokens(F.col(text_col))
+    # stage the token array before the chunk HOF: an inline ws_tokens is
+    # re-evaluated per chunk inside the lambda (gram_array's trap)
+    toks = F.col("__toks")
     n = F.size(toks)
     w = int(chunk_width)
     chunks = F.when(
@@ -70,8 +72,8 @@ def split_units(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return docs.select(
-        F.col(id_col), F.posexplode(chunks).alias("pos", "unit")
-    )
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
+    ).select(F.col(id_col), F.posexplode(chunks).alias("pos", "unit"))
 
 
 def dedup_units(

@@ -100,16 +100,20 @@ def lang_id_sql(text_expr: str = "text") -> str:
     return f"CASE {whens} ELSE 'und' END"
 
 
-def rolling_fingerprint(text: Column, k: int = 5, hash_fn: str = "xxhash64") -> Column:
+def rolling_fingerprint_from_tokens(
+    toks: Column, k: int = 5, hash_fn: str = "xxhash64"
+) -> Column:
     """Document fingerprint: minimum hash over the rolling k-token windows
     (a 1-permutation MinHash over word k-grams — robust to insertions far
     from the matching region, unlike a whole-doc hash).  Docs shorter than
     k tokens fall back to the whole token string.
 
+    ``toks`` must be a bound attribute (gram_array's contract: inline
+    expressions re-evaluate per window inside the transform lambda).
+
     hash_fn: 'xxhash64' (JVM-native, production) or 'md5' (portable across
     engines — the oracle-parity variant; min is lexicographic on hex)."""
     h = F.xxhash64 if hash_fn == "xxhash64" else (lambda c: F.md5(c.cast("binary")))
-    toks = ws_tokens(text)
     n = F.size(toks)
     grams = F.when(
         n >= k,
@@ -119,6 +123,14 @@ def rolling_fingerprint(text: Column, k: int = 5, hash_fn: str = "xxhash64") -> 
         ),
     ).otherwise(F.array(h(F.concat_ws(" ", toks))))
     return F.array_min(grams)
+
+
+def rolling_fingerprint(text: Column, k: int = 5, hash_fn: str = "xxhash64") -> Column:
+    """rolling_fingerprint_from_tokens straight from a text column —
+    tokenizes INSIDE the window lambda (re-split per window position);
+    fine for tests/small inputs, production paths stage the token array
+    first (see q_rolling_fingerprint)."""
+    return rolling_fingerprint_from_tokens(ws_tokens(text), k, hash_fn)
 
 
 def with_quality_features(
@@ -158,7 +170,28 @@ def with_quality_features(
 
 
 def gram_array(toks: Column, n: int) -> Column:
-    """Overlapping n-token grams as strings; fewer than n tokens -> []."""
+    """Overlapping n-token grams as strings; fewer than n tokens -> [].
+
+    ``toks`` must be a BOUND ATTRIBUTE (a materialized column), not an
+    inline tokenizer expression: higher-order-function lambdas re-evaluate
+    captured expressions per element (see shingle_hashes' trap note), so an
+    inline split would re-tokenize once per gram position — O(n^2)/doc
+    (measured 4x wall on the bigram queries before staging).
+
+    n == 2 uses zip_with over the array and its shift — no per-element
+    slice call (measured ~2.5x faster than transform+slice for bigrams;
+    for n >= ~9 the chained zip_with's n-1 intermediate arrays cost more
+    than the slices, so larger n keeps the transform form)."""
+    if n == 2:
+        m = F.greatest(F.size(toks) - 1, F.lit(0))
+        z = F.zip_with(
+            F.slice(toks, 1, m),
+            F.slice(toks, 2, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        return F.when(F.size(toks) >= 2, z).otherwise(
+            F.array().cast("array<string>")
+        )
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -187,9 +220,12 @@ def repetition_stats(
     per-doc quadratic HOF (an `array_max(transform(distinct, g ->
     size(filter(grams, = g))))` formulation would be O(grams^2) per row and
     die on long pages)."""
+    # stage the token array before the gram HOF: an inline ws_tokens would
+    # be re-evaluated per gram position inside the lambda (gram_array's
+    # bound-attribute contract)
     grams = df.select(
-        F.col(id_col), F.explode(gram_array(ws_tokens(F.col(text_col)), n)).alias("g")
-    )
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
+    ).select(F.col(id_col), F.explode(gram_array(F.col("__toks"), n)).alias("g"))
     per_gram = grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
     stats = per_gram.groupBy(id_col).agg(
         F.sum("c").alias("n_grams"),
