@@ -942,7 +942,8 @@ def oracle_sql() -> dict[str, str]:
             ), s AS (
               SELECT doc_id, nc, len(toks) AS nt,
                      len(list_filter(toks, x -> x IN ({stop_list}))) AS stop,
-                     al
+                     al,
+                     length(array_to_string(toks, '')) AS tlen
               FROM t
             ), g AS (
               SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
@@ -959,13 +960,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id,
                    CAST(nt AS BIGINT) AS n_tokens,
                    nt BETWEEN 50 AND 100000 AS ok_length,
-                   (nc - (nt - 1)) * 1.0 / greatest(nt, 1) BETWEEN 3.0 AND 10.0
+                   tlen * 1.0 / greatest(nt, 1) BETWEEN 3.0 AND 10.0
                      AS ok_mean_len,
                    al * 1.0 / greatest(nc, 1) >= 0.6 AS ok_alnum,
                    stop >= 2 AS ok_stopwords,
                    coalesce(rep.ok_repetition, TRUE) AS ok_repetition,
                    (nt BETWEEN 50 AND 100000)
-                     AND ((nc - (nt - 1)) * 1.0 / greatest(nt, 1)
+                     AND (tlen * 1.0 / greatest(nt, 1)
                           BETWEEN 3.0 AND 10.0)
                      AND (al * 1.0 / greatest(nc, 1) >= 0.6)
                      AND (stop >= 2)

@@ -48,6 +48,30 @@ def test_hard_questions_only_mixed_clusters(spark):
     assert union.count() <= 9
 
 
+def test_hard_questions_add_fresh_pairs(spark):
+    """The hard round must spend budget on pairs the simple round did NOT
+    already take: both rounds rank by the same deterministic hash, so
+    without the labeled-pair anti-join the union would equal the simple
+    sample (the active-learning round would add zero labels)."""
+    pairs = _pairs(spark, n_per_cluster=6, clusters=3)
+    n = 2
+    simple = simple_questions(pairs, n, seed=42)
+    # label the simple sample so cluster 1 comes out mixed
+    rows = simple.where(F.col("cluster") == 1).collect()
+    label_rows = [
+        {"url_a": r["url_a"], "url_b": r["url_b"], "y_true": i % 2}
+        for i, r in enumerate(rows)
+    ]
+    labels = spark.createDataFrame(pd.DataFrame(label_rows))
+    hard = hard_questions(pairs, labels, n, seed=42)
+    simple_keys = {(r["url_a"], r["url_b"]) for r in simple.collect()}
+    labeled_keys = {(d["url_a"], d["url_b"]) for d in label_rows}
+    hard_keys = {(r["url_a"], r["url_b"]) for r in hard.collect()}
+    assert hard_keys, "hard round sampled nothing"
+    assert not hard_keys & labeled_keys, "hard round re-picked labeled pairs"
+    assert label_budget_union(simple, hard).count() > len(simple_keys)
+
+
 def test_id_to_str(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"id": ["007-42.0", "1.0", "#N/A", "A/B 3", "000"]})

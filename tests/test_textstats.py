@@ -110,6 +110,41 @@ def test_quality_features(spark):
     assert empty["stopword_ratio"] == 0.0
 
 
+def test_mean_token_len_ignores_extra_whitespace(spark):
+    """mean_token_len is the TRUE mean of token lengths — indentation /
+    multi-space separators must not count as token mass (the old
+    (n_chars - (n-1))/n formula misgraded whitespace-heavy pages)."""
+    from webdedup.textstats import quality_features
+
+    df = _df(spark, ["abc \n\t\t  de", "  abc de  "])
+    feats = quality_features(F.col("text"), stopwords=("the",))
+    rows = (
+        df.orderBy("id")
+        .select(*[v.alias(k) for k, v in feats.items()])
+        .collect()
+    )
+    for r in rows:
+        assert abs(r["mean_token_len"] - 2.5) < 1e-9  # (3 + 2) / 2
+
+
+def test_lang_id_zh_without_spaces(spark):
+    """Real zh text carries no spaces; marker matching must count
+    substrings, not whitespace tokens."""
+    from webdedup.textstats import lang_id, with_lang_id
+
+    df = _df(spark, ["我有的是时间但是我不知道", "the cat and the dog is here"])
+    got = [
+        r[0]
+        for r in df.orderBy("id").select(lang_id(F.col("text"))).collect()
+    ]
+    assert got == ["zh", "en"]
+    got2 = [
+        r["lang_pred"]
+        for r in with_lang_id(df).orderBy("id").select("lang_pred").collect()
+    ]
+    assert got2 == ["zh", "en"]
+
+
 def test_ws_tokens_empty(spark):
     df = _df(spark, ["", "   ", "a b"])
     got = [r["n"] for r in df.orderBy("id").select(F.size(ws_tokens(F.col("text"))).alias("n")).collect()]

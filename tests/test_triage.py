@@ -61,6 +61,14 @@ def test_kbins_matches_pandas_oracle(spark):
         assert got[f"a{i}"] == want[i]
 
 
+def test_kbins_empty_input(spark):
+    """Zero feature rows -> empty clustered frame, not float(None)."""
+    df = spark.createDataFrame([], "url_a string, url_b string, f double")
+    out = kbins_cluster(df, 5, cols=["f"])
+    assert out.count() == 0
+    assert "cluster" in out.columns
+
+
 def test_cluster_matches_and_classify(spark):
     clustered = spark.createDataFrame(
         pd.DataFrame(

@@ -69,6 +69,36 @@ def test_pair_cosine_matches_sklearn_semantics(spark):
     assert got[("u1", "u2")] > got[("u1", "u3")]
 
 
+def test_pair_cosine_duplicate_pair_rows(spark):
+    """A pair fed in twice must NOT double its cosine (the dot product
+    dedups pair keys before the weight joins); each input row still gets
+    its own output row with the correct value."""
+    docs = spark.createDataFrame(list(TEXTS.items()), "url string, text string")
+    pairs = spark.createDataFrame(
+        [("u1", "u4"), ("u1", "u4")], "url_a string, url_b string"
+    )
+    got = pair_cosine(pairs, tfidf_weights(docs)).collect()
+    assert len(got) == 2
+    for r in got:
+        assert abs(r["tfidf_cosine"] - 1.0) < 1e-9  # u4 is u1's exact dup
+
+
+def test_refit_add_with_empty_batch_keeps_prior(spark):
+    """addvocab='add' with a token-less batch must not NULL out the merged
+    stats (empty snapshots have no rows to carry n_docs on)."""
+    from webdedup.vectorizer import fit_term_stats, refit_term_stats
+
+    docs = spark.createDataFrame(
+        [("a", "alpha beta"), ("b", "alpha gamma")], "url string, text string"
+    )
+    prior = fit_term_stats(docs)
+    empty = spark.createDataFrame([("c", "x !")], "url string, text string")
+    merged = refit_term_stats(empty, prior=prior, addvocab="add")
+    rows = {r["term"]: (r["df"], r["n_docs"]) for r in merged.collect()}
+    assert rows["alpha"] == (2, 2)
+    assert all(nd == 2 for _, nd in rows.values())
+
+
 def test_pair_cosine_no_shared_terms_is_zero(spark):
     docs = spark.createDataFrame(
         [("a", "alpha beta"), ("b", "gamma delta")], "url string, text string"

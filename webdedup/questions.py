@@ -50,13 +50,26 @@ def hard_questions(
 ) -> DataFrame:
     """Sample only *mixed* clusters — clusters whose labeled pairs contain
     both matches and non-matches (HardQuestions.fit/transform via the
-    cluster_matches crosstab)."""
+    cluster_matches crosstab).
+
+    Pairs already in ``labels`` are EXCLUDED before sampling: both rounds
+    rank by the same deterministic per-cluster hash, so without the
+    anti-join the hard round's top-n per mixed cluster would be exactly
+    the simple round's picks and the union would add zero new labels —
+    the hard round exists to spend budget on fresh mixed-cluster pairs
+    (the reference's random sampler gets fresh draws by chance;
+    determinism here has to subtract instead)."""
     from webdedup.triage import classify_clusters, cluster_matches
 
     classes = classify_clusters(cluster_matches(clustered_pairs, labels))
     mixed = classes.where(F.col("cluster_class") == 1).select("cluster")
     candidates = clustered_pairs.join(F.broadcast(mixed), "cluster", "left_semi")
-    return sample_per_cluster(candidates, n_questions, seed=seed)
+    fresh = candidates.join(
+        F.broadcast(labels.select("url_a", "url_b")),
+        ["url_a", "url_b"],
+        "left_anti",
+    )
+    return sample_per_cluster(fresh, n_questions, seed=seed)
 
 
 def label_budget_union(simple: DataFrame, hard: DataFrame) -> DataFrame:

@@ -37,6 +37,20 @@ def marker_score(toks: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
 
 
+def zh_marker_score(text: Column) -> Column:
+    """Marker occurrences for zh, counted as SUBSTRINGS of the raw text:
+    Chinese is written without spaces, so whitespace tokens never equal a
+    single-character marker and the token path would leave zh unreachable
+    (real zh text labeled 'und').  Each marker is one character, so its
+    count is the length drop after deleting it."""
+    total: Column = F.lit(0)
+    for m in LANG_MARKERS["zh"]:
+        total = total + (
+            F.length(text) - F.length(F.replace(text, F.lit(m), F.lit("")))
+        )
+    return total
+
+
 def lang_id(text: Column) -> Column:
     """Argmax marker-word language with deterministic tie-break by
     LANG_ORDER; all-zero scores -> 'und' (undetermined, BCP-47 style).
@@ -49,7 +63,14 @@ def lang_id(text: Column) -> Column:
     non-cheap exprs referenced >1x un-inlined; verified on the physical
     plan), cutting the sf0.1 scan from 28.5s to a few seconds."""
     toks = ws_tokens(text)
-    scores = {lang: marker_score(toks, lang) for lang in LANG_ORDER}
+    scores = {
+        lang: (
+            zh_marker_score(text)
+            if lang == "zh"
+            else marker_score(toks, lang)
+        )
+        for lang in LANG_ORDER
+    }
     return _argmax_lang({lang: scores[lang] for lang in LANG_ORDER})
 
 
@@ -72,7 +93,11 @@ def with_lang_id(df, text_col: str = "text", out_col: str = "lang_pred"):
     staged = staged.select(
         "*",
         *[
-            marker_score(F.col(toks_c), lang).alias(score_cols[lang])
+            (
+                zh_marker_score(F.col(text_col))
+                if lang == "zh"
+                else marker_score(F.col(toks_c), lang)
+            ).alias(score_cols[lang])
             for lang in LANG_ORDER
         ],
     )
@@ -91,7 +116,13 @@ def lang_id_sql(text_expr: str = "text") -> str:
             f"x -> x IN ({', '.join(repr(w) for w in LANG_MARKERS[lang])})))"
         )
         for lang in LANG_ORDER
+        if lang != "zh"
     }
+    # zh: substring occurrences (space-free script — see zh_marker_score)
+    score["zh"] = "(" + " + ".join(
+        f"(length({text_expr}) - length(replace({text_expr}, '{m}', '')))"
+        for m in LANG_MARKERS["zh"]
+    ) + ")"
     best = "greatest(" + ", ".join(score[lang] for lang in LANG_ORDER) + ")"
     whens = " ".join(
         f"WHEN {best} > 0 AND {score[lang]} = {best} THEN '{lang}'"
@@ -153,20 +184,23 @@ def with_quality_features(
         F.length(F.regexp_replace(text_col, r"[^\p{L}\p{N}]", "")).alias(
             "__qf_alnum"
         ),
+        # true mean token length = sum of token chars / n — NOT
+        # (n_chars - (n-1))/n, which counts every whitespace char beyond
+        # one separator (and leading/trailing runs) as token mass and
+        # misgrades indentation-heavy pages
+        F.length(F.array_join(toks, "")).alias("__qf_tlen"),
     )
     denom = F.greatest(F.col("n_tokens"), F.lit(1))
     out = staged.select(
         "*",
         (F.col("__qf_uniq") / denom).alias("uniq_ratio"),
         (F.col("__qf_stop") / denom).alias("stopword_ratio"),
-        ((F.col("n_chars") - (F.col("n_tokens") - 1)) / denom).alias(
-            "mean_token_len"
-        ),
+        (F.col("__qf_tlen") / denom).alias("mean_token_len"),
         (F.col("__qf_alnum") / F.greatest(F.col("n_chars"), F.lit(1))).alias(
             "alnum_ratio"
         ),
     )
-    return out.drop(toks_c, "__qf_uniq", "__qf_stop", "__qf_alnum")
+    return out.drop(toks_c, "__qf_uniq", "__qf_stop", "__qf_alnum", "__qf_tlen")
 
 
 def gram_array(toks: Column, n: int) -> Column:
@@ -269,7 +303,10 @@ def quality_features(text: Column, stopwords: tuple[str, ...]) -> dict[str, Colu
         "uniq_ratio": F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)),
         "stopword_ratio": F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
         / F.greatest(n_tok, F.lit(1)),
-        "mean_token_len": (n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1)),
+        # sum of token chars / n (array_join's arg evaluates once; the
+        # subtraction form would count extra whitespace as token mass)
+        "mean_token_len": F.length(F.array_join(toks, ""))
+        / F.greatest(n_tok, F.lit(1)),
         "alnum_ratio": alnum_chars / F.greatest(n_chars, F.lit(1)),
     }
 
@@ -314,9 +351,11 @@ def gopher_filter(
         F.length(F.regexp_replace(text_col, r"[^\p{L}\p{N}]", "")).alias(
             "__alnum"
         ),
+        F.length(F.array_join(toks, "")).alias("__tlen"),
     )
     denom = F.greatest(F.col("n_tokens"), F.lit(1))
-    mean_len = (F.col("__nc") - (F.col("n_tokens") - 1)) / denom
+    # true mean token length (see with_quality_features)
+    mean_len = F.col("__tlen") / denom
     alnum_ratio = F.col("__alnum") / F.greatest(F.col("__nc"), F.lit(1))
     rules = scalars.select(
         id_col,

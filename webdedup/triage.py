@@ -68,6 +68,10 @@ def kbins_cluster(
     row = df.agg(
         F.min("score_sum").alias("lo"), F.max("score_sum").alias("hi")
     ).collect()[0]
+    if row["lo"] is None or row["hi"] is None:
+        # empty features (a partition with no candidate pairs): empty
+        # clustered frame, not a TypeError on float(None)
+        return df.withColumn("cluster", F.lit(0))
     lo, hi = float(row["lo"]), float(row["hi"])
     if hi <= lo:
         return df.withColumn("cluster", F.lit(0))

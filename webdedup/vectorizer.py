@@ -16,8 +16,14 @@ table is computed once and reused (the reference's `addvocab='keep'` refit
 semantics become: recompute or reuse the weights snapshot).
 
 Semantics pinned to sklearn TfidfVectorizer defaults (what the reference
-uses): token pattern = runs of >= 2 alphanumerics, lowercase, raw term
-counts, idf = ln((N+1)/(df+1)) + 1 (smooth_idf), L2 document normalization.
+uses) with ONE deliberate divergence: sklearn's default token pattern is
+unicode \\w\\w+ (keeps underscores and non-ASCII word chars); here tokens
+are runs of >= 2 ASCII alphanumerics so the DuckDB oracle (RE2: ASCII \\w)
+replays the tokenizer bit-for-bit.  Latin-script text should pass through
+normalize.fold_ascii first; CJK text has no usable ASCII runs and belongs
+to the shingle/MinHash path, not TF-IDF terms.  Otherwise identical:
+lowercase, raw term counts, idf = ln((N+1)/(df+1)) + 1 (smooth_idf), L2
+document normalization.
 """
 
 from __future__ import annotations
@@ -80,9 +86,17 @@ def refit_term_stats(
         return new
     o = prior.select("term", F.col("df").alias("df_o"), F.col("n_docs").alias("n_o"))
     n = new.select("term", F.col("df").alias("df_n"), F.col("n_docs").alias("n_n"))
+    # coalesce(max, 0): a snapshot with an EMPTY vocabulary (empty batch,
+    # or no token survives the >=2-char filter) has zero rows, so its
+    # max(n_docs) is NULL — without the coalesce every merged term's
+    # n_docs (and every downstream idf/weight/cosine) would go NULL.
+    # Limitation: the doc count rides on term rows, so a token-less batch
+    # contributes 0 to n_docs rather than its true doc count.
     totals = (
-        prior.select(F.max("n_docs").alias("n_o"))
-        .crossJoin(new.select(F.max("n_docs").alias("n_n")))
+        prior.select(F.coalesce(F.max("n_docs"), F.lit(0)).alias("n_o"))
+        .crossJoin(
+            new.select(F.coalesce(F.max("n_docs"), F.lit(0)).alias("n_n"))
+        )
         .select((F.col("n_o") + F.col("n_n")).alias("n_docs"))
     )
     return (
@@ -143,7 +157,11 @@ def pair_cosine(
         F.col("url").alias("url_b"), "term", F.col("w").alias("w_b")
     )
     dots = (
+        # distinct: a pair fed in k times (e.g. two candidate sources
+        # unioned without dedup) would otherwise k-multiply every shared-
+        # term row and report k * cosine (values > 1.0)
         pairs.select("url_a", "url_b")
+        .distinct()
         .join(wa, "url_a")
         .join(wb, ["url_b", "term"])
         .groupBy("url_a", "url_b")
