@@ -190,6 +190,31 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.orderBy("doc_id")
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot dedup (webdedup.bloom): flag docs in the "new"
+    slice (doc_id % 5 == 0) whose rolling fingerprint already appears in the
+    existing-corpus slice.  The corpus fingerprints are summarized once into
+    a Bloom filter probed map-side by the new batch; only bloom survivors
+    (true dups + false positives) enter the exact broadcast confirm join, so
+    the corpus never shuffles.  Bloom has no false negatives and the confirm
+    is exact, so semantics equal the plain membership join — the oracle is
+    the plain IN-subquery over the same md5-portable fingerprints."""
+    from webdedup.bloom import incremental_dedup
+    from webdedup.textstats import rolling_fingerprint_from_tokens, ws_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", ws_tokens(F.col("text")).alias("__toks")).select(
+        "doc_id",
+        rolling_fingerprint_from_tokens(
+            F.col("__toks"), k=5, hash_fn="md5"
+        ).alias("fingerprint"),
+    )
+    new = fp.where(F.col("doc_id") % 5 == 0)
+    corpus = fp.where(F.col("doc_id") % 5 != 0)
+    res = incremental_dedup(new, corpus, "fingerprint")
+    return res.select("doc_id", "is_dup").orderBy("doc_id")
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite Gopher-style quality gate (token-count bounds, mean token
     length, alnum ratio, stop-word evidence, duplicated-bigram ceiling)
@@ -793,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "chunk_dedup": q_chunk_dedup,
         "decontaminate": q_decontaminate,
+        "incremental_dedup": q_incremental_dedup,
         "pii_scrub": q_pii_scrub,
         "gopher_filter": q_gopher_filter,
         "lang_id": q_lang_id,
@@ -1217,6 +1243,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_a, doc_b
         """,
         "lang_id": _LANG_ID_ORACLE,
+        "incremental_dedup": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+              FROM documents
+            ), fp AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 5 THEN
+                       list_min(list_transform(range(0, len(toks) - 4),
+                                i -> md5(array_to_string(toks[i+1:i+5], ' '))))
+                     ELSE md5(array_to_string(toks, ' ')) END AS fingerprint
+              FROM t
+            )
+            SELECT n.doc_id,
+                   COALESCE(n.fingerprint IN
+                     (SELECT fingerprint FROM fp WHERE doc_id % 5 <> 0), FALSE)
+                     AS is_dup
+            FROM fp n WHERE n.doc_id % 5 = 0 ORDER BY doc_id
+        """,
         "rolling_fingerprint": r"""
             WITH t AS (
               SELECT doc_id,

@@ -34,6 +34,7 @@ HEADLINE = [
     "repetition_stats",
     "chunk_dedup",
     "decontaminate",
+    "incremental_dedup",
     "pii_scrub",
     "gopher_filter",
     "lang_id",
