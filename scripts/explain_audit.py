@@ -24,6 +24,7 @@ AUDIT = [
     "repetition_stats",
     "chunk_dedup",
     "decontaminate",
+    "incremental_dedup",
     "pii_scrub",
     "gopher_filter",
     "events_windowed",

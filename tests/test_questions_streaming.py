@@ -367,3 +367,81 @@ def test_windowed_stream_watermark(spark, tmp_path):
     assert rows[h(1)] == 1
     assert rows[h(2)] == 2          # minutes 130 + 135
     assert h(10) not in rows        # still-open window never emitted
+
+
+def test_band_key_index_matches_legacy_explode(spark, tmp_path):
+    """The band-key-index probe (bloom prune + partition-pruned index read)
+    must assign exactly what the legacy full-state explode assigns — the
+    index is a pure access-path change.  Legacy is forced by deleting one
+    epoch's bloom file (mixed/older layouts fall back wholesale)."""
+    from webdedup.streaming import _bloom_file, _index_path, process_batch
+    from webdedup.synth import generate_pages, pages_to_spark
+
+    cfg = DedupConfig()
+    pages_pd, _, _ = generate_pages(n_docs=120, seed=11)
+    sdf = pages_to_spark(spark, pages_pd)
+    b1 = sdf.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    b2 = sdf.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+
+    def drive(state_dir: str, force_legacy: bool) -> set:
+        process_batch(spark, b1, state_dir, cfg, epoch_id=0).count()
+        if force_legacy:
+            _bloom_file(state_dir, 0).unlink()
+        return {
+            (r["url"], r["gid"])
+            for r in process_batch(spark, b2, state_dir, cfg, epoch_id=1).collect()
+        }
+
+    indexed = drive(str(tmp_path / "s_idx"), force_legacy=False)
+    legacy = drive(str(tmp_path / "s_leg"), force_legacy=True)
+    assert indexed == legacy
+    # the index artifacts exist for committed epochs in the indexed run
+    assert (_index_path(str(tmp_path / "s_idx")) / "epoch=0" / "_SUCCESS").exists()
+    assert _bloom_file(str(tmp_path / "s_idx"), 1).exists()
+
+
+def test_zero_collision_batch_founds_only_new_groups(spark, tmp_path):
+    """A batch sharing no band key with state must take the bloom shortcut
+    (no index partitions read) and found only new groups (gid == url)."""
+    from webdedup import streaming as st
+    from webdedup.synth import generate_pages, pages_to_spark
+
+    cfg = DedupConfig()
+    pages_pd, _, _ = generate_pages(n_docs=60, seed=13)
+    # batch 2 texts are unrelated random sentences: share no 5-shingle
+    import pandas as pd
+
+    other = pd.DataFrame(
+        {
+            "url": [f"https://other.example/{i}" for i in range(20)],
+            "warc_ts": pages_pd["warc_ts"].iloc[:20].values,
+            "html": pages_pd["html"].iloc[:20].values,
+            "text": [
+                " ".join(f"zq{i}w{j}token" for j in range(40)) for i in range(20)
+            ],
+            "lang": ["en"] * 20,
+        }
+    )
+    state_dir = str(tmp_path / "state")
+    process_batch = st.process_batch
+    process_batch(
+        spark, pages_to_spark(spark, pages_pd), state_dir, cfg, epoch_id=0
+    ).count()
+
+    calls = {"reads": 0}
+    real_reader = st._match_against_index
+
+    def counting(spark_, sigs, sd, epochs, cfg_):
+        out = real_reader(spark_, sigs, sd, epochs, cfg_)
+        calls["reads"] += 1
+        return out
+
+    st._match_against_index = counting
+    try:
+        assigned = process_batch(
+            spark, pages_to_spark(spark, other), state_dir, cfg, epoch_id=1
+        ).collect()
+    finally:
+        st._match_against_index = real_reader
+    assert calls["reads"] == 1  # index path taken
+    assert all(r["gid"] == r["url"] for r in assigned)

@@ -13,12 +13,28 @@ state (url, gid, signature) lives in a parquet state directory (the
 streaming equivalent of the pipeline's checkpoint tables), so a killed
 stream resumes from the last committed batch — the same resumability story
 as the batch engine.
+
+Matching cost: naively, every batch re-explodes ALL accumulated state into
+band keys — O(|state| * bands) work per batch, the term that dominates once
+state outgrows the batches (the 10^12-doc regime).  process_batch therefore
+maintains a per-epoch BAND-KEY INDEX next to the state: the epoch's
+(key_idx, key_hash) -> (ref_url, ref_gid) rows, hash-partitioned by
+pmod(xxhash64(key), 16), plus a per-epoch Bloom bitmap over the keys
+(webdedup.bloom).  A batch probes the OR of the epoch blooms map-side; only
+band keys that MIGHT collide survive, their partitions are the only index
+partitions read (directory-level partition pruning), and a batch with zero
+surviving keys never touches state at all.  Epochs committed by older
+layouts (no index) fall back to the explode path for correctness; at real
+scale the per-epoch index dirs would be compacted periodically like any
+log-structured table.
 """
 
 from __future__ import annotations
 
+from functools import reduce
 from pathlib import Path
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -26,9 +42,23 @@ from webdedup.config import DedupConfig
 from webdedup.features import jaccard_sketch
 from webdedup.signatures import compute_signatures
 
+# band-key index geometry (performance-only: false positives cost a wasted
+# partition read, never a wrong answer; sizes are per-epoch)
+_BLOOM_M = 1 << 20
+_BLOOM_K = 6
+_INDEX_PARTS = 16
+
 
 def _state_path(state_dir: str) -> Path:
     return Path(state_dir) / "state"
+
+
+def _index_path(state_dir: str) -> Path:
+    return Path(state_dir) / "bandkeys"
+
+
+def _bloom_file(state_dir: str, epoch: int) -> Path:
+    return Path(state_dir) / "bloom" / f"epoch_{epoch}.bits"
 
 
 def _committed_epochs(state_dir: str) -> list[int]:
@@ -67,6 +97,114 @@ def read_state(
         return None
     p = _state_path(state_dir)
     return spark.read.parquet(*[str(p / f"epoch={e}") for e in epochs])
+
+
+def _exploded_keys(sigs: DataFrame, extra: list[str]) -> DataFrame:
+    """(extra..., key_idx, key_hash, k64) band-key rows for signature rows."""
+    return sigs.select(
+        *extra, F.posexplode("bands").alias("key_idx", "key_hash")
+    ).withColumn("k64", F.xxhash64("key_idx", "key_hash"))
+
+
+def _write_epoch_index(new_state: DataFrame, state_dir: str, epoch_id: int) -> None:
+    """Write the epoch's band-key index + bloom bitmap (both idempotent
+    overwrites; written BEFORE the state parquet whose _SUCCESS is the
+    epoch's commit marker, so a crash in between leaves an invisible,
+    harmless index dir)."""
+    from webdedup.bloom import build_bloom
+
+    keys = (
+        _exploded_keys(
+            new_state.select(
+                F.col("url").alias("ref_url"), F.col("gid").alias("ref_gid"), "bands"
+            ),
+            ["ref_url", "ref_gid"],
+        )
+        .withColumn("part", F.pmod("k64", F.lit(_INDEX_PARTS)).cast("int"))
+        .persist()
+    )
+    keys.write.mode("overwrite").partitionBy("part").parquet(
+        str(_index_path(state_dir) / f"epoch={epoch_id}")
+    )
+    bloom = build_bloom(keys, "k64", m_bits=_BLOOM_M, k=_BLOOM_K)
+    keys.unpersist()
+    bf = _bloom_file(state_dir, epoch_id)
+    bf.parent.mkdir(parents=True, exist_ok=True)
+    bf.write_bytes(bloom.bits.tobytes())
+
+
+def _index_epochs(state_dir: str, epochs: list[int]) -> list[int] | None:
+    """The epochs list if EVERY committed epoch has both index artifacts,
+    else None (mixed/legacy state -> caller falls back to the explode
+    path; mixing per-epoch paths would double-count nothing but costs two
+    plans for no benefit)."""
+    for e in epochs:
+        if not (_index_path(state_dir) / f"epoch={e}" / "_SUCCESS").exists():
+            return None
+        if not _bloom_file(state_dir, e).exists():
+            return None
+    return epochs
+
+
+def _match_against_index(
+    spark: SparkSession,
+    batch_sigs: DataFrame,
+    state_dir: str,
+    epochs: list[int],
+    cfg: DedupConfig,
+) -> DataFrame:
+    """Index-probe variant of _match_against (identical output contract):
+    a ref gid matches a batch url iff some ref member shares a band key AND
+    passes the exact-Jaccard verify — exploding only the BATCH, never the
+    state.  Bloom-negative batch keys (definitively collision-free) drop
+    map-side; the band-key index is read only for the partitions the
+    survivors hash into; ref shingles are fetched for candidate ref urls
+    only, with the candidate side broadcast so state never shuffles."""
+    from webdedup.bloom import BloomFilter, probe_bloom
+
+    bits = np.zeros(_BLOOM_M >> 6, dtype=np.uint64)
+    for e in epochs:
+        bits |= np.frombuffer(_bloom_file(state_dir, e).read_bytes(), dtype=np.uint64)
+    bloom = BloomFilter(bits, _BLOOM_M, _BLOOM_K)
+
+    bkeys = _exploded_keys(batch_sigs, ["url", "shingles"])
+    # the probe is a map-side pandas UDF over the (small) batch keys; it
+    # runs once for the parts collect and once in the final plan — cheaper
+    # than owning a persist lifecycle across the caller's state write
+    survivors = (
+        probe_bloom(bkeys, "k64", bloom, "__maybe")
+        .where(F.col("__maybe"))
+        .withColumn("part", F.pmod("k64", F.lit(_INDEX_PARTS)).cast("int"))
+    )
+    live_parts = [r["part"] for r in survivors.select("part").distinct().collect()]
+    if not live_parts:  # nothing in the batch can collide with state
+        return batch_sigs.sparkSession.createDataFrame([], "url string, gid string")
+
+    root = _index_path(state_dir)
+    ref = (
+        spark.read.option("basePath", str(root))
+        .parquet(*[str(root / f"epoch={e}") for e in epochs])
+        .where(F.col("part").isin(live_parts))
+    )
+    cand = (
+        survivors.select("url", "shingles", "key_idx", "key_hash")
+        .join(ref, ["key_idx", "key_hash"])
+        .select("url", "shingles", "ref_url", "ref_gid")
+        .distinct()
+    )
+    refsh = read_state(spark, state_dir, before_epoch=epochs[-1] + 1).select(
+        F.col("url").alias("ref_url"), F.col("shingles").alias("ref_shingles")
+    )
+    verified = (
+        refsh.join(F.broadcast(cand), "ref_url")
+        .where(
+            jaccard_sketch(
+                F.col("shingles"), F.col("ref_shingles"), cfg.shingle_sketch_k
+            )
+            >= cfg.jaccard_threshold
+        )
+    )
+    return verified.groupBy("url").agg(F.min("ref_gid").alias("gid"))
 
 
 def _match_against(
@@ -145,9 +283,16 @@ def process_batch(
     )
     internal = connected_components(verified)
 
-    # 2. match against accumulated reference state
+    # 2. match against accumulated reference state — via the band-key index
+    #    (explodes only the batch; bloom + partition pruning on state) when
+    #    every committed epoch has one, else the legacy state explode
     if state is not None:
-        matched = _match_against(sigs, state, cfg)
+        committed_below = [e for e in _committed_epochs(state_dir) if e < epoch_id]
+        indexed = _index_epochs(state_dir, committed_below)
+        if indexed:
+            matched = _match_against_index(spark, sigs, state_dir, indexed, cfg)
+        else:
+            matched = _match_against(sigs, state, cfg)
     else:
         matched = spark.createDataFrame([], "url string, gid string")
 
@@ -173,11 +318,17 @@ def process_batch(
         .select("url", "gid")
     )
 
-    new_state = sigs.select("url", "shingles", "bands").join(assigned, "url")
-    # one directory per epoch, overwrite-on-replay (idempotent commit)
+    new_state = (
+        sigs.select("url", "shingles", "bands").join(assigned, "url").persist()
+    )
+    # index + bloom first, then the state parquet whose _SUCCESS commits the
+    # epoch; each is an overwrite, so a foreachBatch replay after any crash
+    # point rewrites identical artifacts (idempotent commit)
+    _write_epoch_index(new_state, state_dir, epoch_id)
     new_state.write.mode("overwrite").parquet(
         str(_state_path(state_dir) / f"epoch={epoch_id}")
     )
+    new_state.unpersist()
     sigs.unpersist()
     return assigned
 
