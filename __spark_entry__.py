@@ -215,6 +215,26 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", "is_dup").orderBy("doc_id")
 
 
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture resampling (webdedup.sampling.mix_sources): downsample
+    each source so output token mass tracks target weights (weight of srcN
+    = N+1), keeping 100% of the binding source.  Row keep/drop is the
+    deterministic md5-hash sampler on doc_id — pure function of the row, so
+    retries/re-plans/resumes reproduce the sample exactly; the oracle
+    replays the identical hash arithmetic in SQL."""
+    from webdedup.sampling import mix_sources
+    from webdedup.textstats import ws_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    sampled, _rates = mix_sources(
+        docs,
+        weight=F.expr("CAST(substring(source, 4) AS INT)") + F.lit(1.0),
+        token_count=F.size(ws_tokens(F.coalesce(F.col("text"), F.lit("")))),
+        portable=True,
+    )
+    return sampled.select("doc_id", "source").orderBy("doc_id")
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite Gopher-style quality gate (token-count bounds, mean token
     length, alnum ratio, stop-word evidence, duplicated-bigram ceiling)
@@ -819,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "decontaminate": q_decontaminate,
         "incremental_dedup": q_incremental_dedup,
+        "mix_corpus": q_mix_corpus,
         "pii_scrub": q_pii_scrub,
         "gopher_filter": q_gopher_filter,
         "lang_id": q_lang_id,
@@ -1243,6 +1264,27 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_a, doc_b
         """,
         "lang_id": _LANG_ID_ORACLE,
+        "mix_corpus": r"""
+            WITH tc AS (
+              SELECT doc_id, source,
+                     CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+              FROM documents
+            ), tot AS (
+              SELECT source, CAST(sum(nt) AS BIGINT) AS tok,
+                     CAST(substr(source, 4) AS INT) + 1.0 AS w
+              FROM tc GROUP BY source
+            ), r AS (
+              SELECT source, (SELECT min(tok / w) FROM tot) * w / tok AS rate
+              FROM tot
+            )
+            SELECT tc.doc_id, tc.source
+            FROM tc JOIN r USING (source)
+            WHERE ('0x' || substr(md5(CAST(tc.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                    % 1000000
+                  < CAST(floor(rate * 1000000) AS UBIGINT)
+            ORDER BY doc_id
+        """,
         "incremental_dedup": r"""
             WITH t AS (
               SELECT doc_id,

@@ -35,6 +35,7 @@ HEADLINE = [
     "chunk_dedup",
     "decontaminate",
     "incremental_dedup",
+    "mix_corpus",
     "pii_scrub",
     "gopher_filter",
     "lang_id",
