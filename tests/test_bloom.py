@@ -142,3 +142,23 @@ def test_bad_params_raise():
         build_bloom(df, "key", m_bits=1000)  # not a power of two
     with pytest.raises(ValueError):
         build_bloom(df, "key", m_bits=1 << 10, k=0)
+
+
+def test_null_in_batch_does_not_corrupt_probe(spark):
+    """Arrow->pandas downgrades an int64 batch containing a null to float64,
+    rounding full-range 64-bit keys (53-bit mantissa) — which would make
+    true members probe FALSE (silent recall loss).  Force a null into the
+    same single-partition batch as genuine members and require every member
+    to still probe true."""
+    keys = [(1 << 62) + 12345 + i for i in range(50)]  # not float64-exact
+    members = spark.createDataFrame([(k,) for k in keys], "key long")
+    bloom = build_bloom(members, "key", m_bits=1 << 14, k=6)
+    probe_rows = [(k,) for k in keys] + [(None,)]
+    probed = (
+        probe_bloom(
+            spark.createDataFrame(probe_rows, "key long").coalesce(1),
+            "key", bloom, "hit")
+        .toPandas()
+    )
+    assert probed[probed["key"].notna()]["hit"].all()  # no false negatives
+    assert not probed[probed["key"].isna()]["hit"].any()  # null probes false

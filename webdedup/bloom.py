@@ -89,9 +89,21 @@ def _test_bits(bits: np.ndarray, pos: np.ndarray) -> np.ndarray:
 
 
 def _key_array(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """(non-null int64 values, not-null mask) from an Arrow int64 series
-    (nulls arrive as NaN/pd.NA depending on the backing dtype)."""
+    """(non-null int64 values, not-null mask) from an Arrow int64 series.
+
+    Arrow->pandas turns an int64 batch CONTAINING A NULL into float64, which
+    silently rounds full-range 64-bit keys (53-bit mantissa) — corrupted
+    positions would probe false and MISS true members.  Callers must
+    therefore keep nulls out of mixed batches (probe_bloom coalesces to 0
+    and masks afterwards; build filters isNotNull); if a lossy batch still
+    arrives here, fail loudly rather than lose recall."""
     mask = s.notna().to_numpy()
+    if s.dtype.kind == "f" and mask.any():
+        raise ValueError(
+            "int64 key column arrived as float64 (nulls in the Arrow batch) "
+            "— 64-bit keys would be silently rounded; filter or fill nulls "
+            "column-side before the probe"
+        )
     vals = s[mask].astype(np.int64).to_numpy()
     return vals, mask
 
@@ -170,7 +182,12 @@ def probe_bloom(
 ) -> DataFrame:
     """Map-side membership probe: ``out_col`` true iff all k bits are set
     (null keys probe false).  The bitmap ships once per executor via a
-    SparkContext broadcast, not per task."""
+    SparkContext broadcast, not per task.
+
+    Null keys are coalesced to 0 BEFORE the UDF and masked back to false
+    after: a single null in an Arrow batch downgrades the whole int64 batch
+    to float64, silently rounding 64-bit keys into false negatives (see
+    _key_array)."""
     bc = df.sparkSession.sparkContext.broadcast(bloom.bits.tobytes())
     m_bits, k = bloom.m_bits, bloom.k
 
@@ -183,7 +200,13 @@ def probe_bloom(
             out[mask] = _test_bits(bits, _positions(vals, m_bits, k))
         return pd.Series(out)
 
-    return df.withColumn(out_col, _probe(F.col(key_col)))
+    key = F.col(key_col)
+    return df.withColumn(
+        out_col,
+        F.when(key.isNull(), F.lit(False)).otherwise(
+            _probe(F.coalesce(key, F.lit(0)))
+        ),
+    )
 
 
 # --------------------------------------------------------------------------
