@@ -431,8 +431,8 @@ def test_zero_collision_batch_founds_only_new_groups(spark, tmp_path):
     calls = {"reads": 0}
     real_reader = st._match_against_index
 
-    def counting(spark_, sigs, sd, epochs, cfg_):
-        out = real_reader(spark_, sigs, sd, epochs, cfg_)
+    def counting(*args):
+        out = real_reader(*args)
         calls["reads"] += 1
         return out
 
@@ -445,3 +445,62 @@ def test_zero_collision_batch_founds_only_new_groups(spark, tmp_path):
         st._match_against_index = real_reader
     assert calls["reads"] == 1  # index path taken
     assert all(r["gid"] == r["url"] for r in assigned)
+
+
+def test_compact_index_preserves_assignments_and_replay(spark, tmp_path):
+    """compact_index merges per-epoch band-key indexes into one artifact
+    without changing any future assignment, and covers only epochs below
+    the last committed one so a replay of the newest epoch stays
+    idempotent (a replayed epoch must never find its own rows pre-merged
+    into its reference index)."""
+    from webdedup.streaming import (
+        _bloom_file,
+        _index_path,
+        compact_index,
+        process_batch,
+    )
+    from webdedup.synth import generate_pages, pages_to_spark
+
+    cfg = DedupConfig()
+    pages_pd, _, _ = generate_pages(n_docs=160, seed=17)
+    sdf = pages_to_spark(spark, pages_pd)
+    batches = [
+        sdf.where(F.pmod(F.xxhash64("url"), F.lit(4)) == i) for i in range(4)
+    ]
+
+    def drive(state_dir: str, compact_after: int | None) -> set:
+        out = set()
+        for e, b in enumerate(batches):
+            if compact_after is not None and e == compact_after:
+                compact_index(spark, state_dir)
+            rows = process_batch(spark, b, state_dir, cfg, epoch_id=e).collect()
+            out |= {(r["url"], r["gid"]) for r in rows}
+        return out
+
+    plain = drive(str(tmp_path / "plain"), compact_after=None)
+    compacted_dir = str(tmp_path / "compacted")
+    compacted = drive(compacted_dir, compact_after=3)
+    assert plain == compacted
+
+    # artifact shape after compacting epochs 0..2 (high-water = 1 when run
+    # before epoch 3: covers committed epochs 0,1,2 minus the newest -> 1)
+    root = _index_path(compacted_dir)
+    assert (root / "merged=1" / "_SUCCESS").exists()
+    assert not (root / "epoch=0").exists()
+    assert not (root / "epoch=1").exists()
+    assert (root / "epoch=2" / "_SUCCESS").exists()  # newest-at-compaction kept
+
+    # replay the newest epoch (3) on the compacted dir: identical output
+    first = {
+        (r["url"], r["gid"])
+        for r in process_batch(spark, batches[3], compacted_dir, cfg, epoch_id=3).collect()
+    }
+    assert first <= compacted
+    again = compact_index(spark, compacted_dir)
+    assert again == 2  # now epochs 0..2 are compactable
+    replay = {
+        (r["url"], r["gid"])
+        for r in process_batch(spark, batches[3], compacted_dir, cfg, epoch_id=3).collect()
+    }
+    assert replay == first
+    assert _bloom_file(compacted_dir, 3).exists()

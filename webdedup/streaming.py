@@ -133,17 +133,114 @@ def _write_epoch_index(new_state: DataFrame, state_dir: str, epoch_id: int) -> N
     bf.write_bytes(bloom.bits.tobytes())
 
 
-def _index_epochs(state_dir: str, epochs: list[int]) -> list[int] | None:
-    """The epochs list if EVERY committed epoch has both index artifacts,
-    else None (mixed/legacy state -> caller falls back to the explode
-    path; mixing per-epoch paths would double-count nothing but costs two
-    plans for no benefit)."""
-    for e in epochs:
+def _merged_high_water(state_dir: str) -> int | None:
+    """Highest H for which a compacted index (bandkeys/merged=<H>, bloom
+    merged_<H>.bits) exists, or None."""
+    highs = [
+        int(d.name.split("=", 1)[1])
+        for d in _index_path(state_dir).glob("merged=*")
+        if (d / "_SUCCESS").exists()
+        and _bloom_file_merged(state_dir, int(d.name.split("=", 1)[1])).exists()
+    ]
+    return max(highs) if highs else None
+
+
+def _bloom_file_merged(state_dir: str, high: int) -> Path:
+    return Path(state_dir) / "bloom" / f"merged_{high}.bits"
+
+
+def _index_coverage(
+    state_dir: str, epochs: list[int]
+) -> tuple[int | None, list[int]] | None:
+    """(merged high-water or None, per-epoch tail) covering exactly
+    ``epochs`` with index artifacts, or None when coverage is impossible
+    and the caller must fall back to the legacy explode path:
+
+      - some tail epoch lacks its dir/bloom (mixed/legacy layout), or
+      - the merged artifact OVERREACHES (high > max(epochs)): it folds in
+        epochs the caller must not see — e.g. a replayed epoch matching
+        against a merge that already contains that epoch's own rows would
+        change its reference set and break replay idempotency.
+
+    A replayed epoch <= high-water may have recreated its per-epoch dir;
+    that duplication is harmless (index reads are set-semantics — the
+    candidate join is distinct) and such dirs are simply not read."""
+    high = _merged_high_water(state_dir)
+    if high is not None and (not epochs or high > max(epochs)):
+        return None
+    tail = [e for e in epochs if high is None or e > high]
+    for e in tail:
         if not (_index_path(state_dir) / f"epoch={e}" / "_SUCCESS").exists():
             return None
         if not _bloom_file(state_dir, e).exists():
             return None
-    return epochs
+    return (high, tail)
+
+
+def compact_index(spark: SparkSession, state_dir: str) -> int | None:
+    """Merge committed epochs' band-key indexes + blooms into one compacted
+    artifact, then drop the per-epoch dirs it covers — the log-structured-
+    table maintenance step that keeps per-batch index reads O(1)
+    directories instead of O(#epochs).
+
+    Covers epochs STRICTLY BELOW the last committed one: the newest epoch
+    is the only one a stream restart can replay (its state is committed but
+    the stream checkpoint may not be), and a replayed epoch must never find
+    its own rows pre-merged into the reference index.  STATE epochs are
+    untouched (they are the durable record); only the derived index is
+    rewritten, so compaction is safe between batches and crash-safe — the
+    merged artifact lands before any per-epoch dir is removed, and a
+    half-finished removal only leaves duplicate index rows, which reads
+    dedup.  Returns the new high-water epoch, or None when there is nothing
+    to compact."""
+    import shutil
+
+    epochs = _committed_epochs(state_dir)
+    if len(epochs) < 2:
+        return _merged_high_water(state_dir)
+    target = epochs[:-1]
+    cov = _index_coverage(state_dir, target)
+    if cov is None:
+        return None  # legacy/mixed layout: nothing safely compactable
+    old_high, tail = cov
+    high = target[-1]
+    if old_high == high and not tail:
+        return old_high  # already compact
+    root = _index_path(state_dir)
+    sources = ([str(root / f"merged={old_high}")] if old_high is not None else []) + [
+        str(root / f"epoch={e}") for e in tail
+    ]
+    # one read per source root (each discovers only its own part=* dirs;
+    # a single multi-root read would see conflicting partition columns
+    # merged= vs epoch=), unioned then deduped
+    parts = [
+        spark.read.option("basePath", s).parquet(s).select(
+            "ref_url", "ref_gid", "key_idx", "key_hash", "k64", "part"
+        )
+        for s in sources
+    ]
+    merged = reduce(lambda a, b: a.unionByName(b), parts).distinct()
+    merged.write.mode("overwrite").partitionBy("part").parquet(
+        str(root / f"merged={high}")
+    )
+    bits = np.zeros(_BLOOM_M >> 6, dtype=np.uint64)
+    if old_high is not None:
+        bits |= np.frombuffer(
+            _bloom_file_merged(state_dir, old_high).read_bytes(), dtype=np.uint64
+        )
+    for e in tail:
+        bits |= np.frombuffer(_bloom_file(state_dir, e).read_bytes(), dtype=np.uint64)
+    bf = _bloom_file_merged(state_dir, high)
+    bf.parent.mkdir(parents=True, exist_ok=True)
+    bf.write_bytes(bits.tobytes())
+    # drop what the merged artifact covers (merged landed first = crash-safe)
+    for e in tail:
+        shutil.rmtree(root / f"epoch={e}", ignore_errors=True)
+        _bloom_file(state_dir, e).unlink(missing_ok=True)
+    if old_high is not None and old_high != high:
+        shutil.rmtree(root / f"merged={old_high}", ignore_errors=True)
+        _bloom_file_merged(state_dir, old_high).unlink(missing_ok=True)
+    return high
 
 
 def _match_against_index(
@@ -151,6 +248,7 @@ def _match_against_index(
     batch_sigs: DataFrame,
     state_dir: str,
     epochs: list[int],
+    coverage: tuple[int | None, list[int]],
     cfg: DedupConfig,
 ) -> DataFrame:
     """Index-probe variant of _match_against (identical output contract):
@@ -159,11 +257,18 @@ def _match_against_index(
     state.  Bloom-negative batch keys (definitively collision-free) drop
     map-side; the band-key index is read only for the partitions the
     survivors hash into; ref shingles are fetched for candidate ref urls
-    only, with the candidate side broadcast so state never shuffles."""
+    only, with the candidate side broadcast so state never shuffles.
+    ``coverage`` = (merged high-water or None, per-epoch tail) from
+    _index_coverage."""
     from webdedup.bloom import BloomFilter, probe_bloom
 
+    high, tail = coverage
     bits = np.zeros(_BLOOM_M >> 6, dtype=np.uint64)
-    for e in epochs:
+    if high is not None:
+        bits |= np.frombuffer(
+            _bloom_file_merged(state_dir, high).read_bytes(), dtype=np.uint64
+        )
+    for e in tail:
         bits |= np.frombuffer(_bloom_file(state_dir, e).read_bytes(), dtype=np.uint64)
     bloom = BloomFilter(bits, _BLOOM_M, _BLOOM_K)
 
@@ -181,10 +286,18 @@ def _match_against_index(
         return batch_sigs.sparkSession.createDataFrame([], "url string, gid string")
 
     root = _index_path(state_dir)
-    ref = (
-        spark.read.option("basePath", str(root))
-        .parquet(*[str(root / f"epoch={e}") for e in epochs])
-        .where(F.col("part").isin(live_parts))
+    sources = ([str(root / f"merged={high}")] if high is not None else []) + [
+        str(root / f"epoch={e}") for e in tail
+    ]
+    # one read per source root: a multi-root read would try to reconcile
+    # the merged=/epoch= directory names as partition columns
+    ref = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.option("basePath", s).parquet(s)
+            .where(F.col("part").isin(live_parts))
+            for s in sources
+        ],
     )
     cand = (
         survivors.select("url", "shingles", "key_idx", "key_hash")
@@ -288,9 +401,11 @@ def process_batch(
     #    every committed epoch has one, else the legacy state explode
     if state is not None:
         committed_below = [e for e in _committed_epochs(state_dir) if e < epoch_id]
-        indexed = _index_epochs(state_dir, committed_below)
-        if indexed:
-            matched = _match_against_index(spark, sigs, state_dir, indexed, cfg)
+        coverage = _index_coverage(state_dir, committed_below)
+        if coverage is not None:
+            matched = _match_against_index(
+                spark, sigs, state_dir, committed_below, coverage, cfg
+            )
         else:
             matched = _match_against(sigs, state, cfg)
     else:
