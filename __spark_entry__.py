@@ -531,6 +531,21 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round("cosine", 4)).orderBy("query_id", "rank")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (webdedup.semantic): IVF cells as the
+    blocking stage, within-cell cosine >= tau pairs, connected components,
+    one keeper per component.  Driver variant uses PORTABLE centroids so
+    the oracle replays centroid choice, cell assignment, the pair set and
+    the components (recursive CTE) exactly; tau=0.45 is calibrated to the
+    synthetic embeddings (near-random vectors, max pairwise cosine ~0.5 —
+    real SemDeDup operates at ~0.95 on real encoder output)."""
+    from webdedup.semantic import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out, _skew = semantic_dedup(emb, tau=0.45, n_cells=16, centroids="portable")
+    return out.orderBy("id")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: magic-byte sniff + stubbed decode/feature-extract
     over binary payloads (non-SQL: mapInPandas)."""
@@ -856,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_rp_lsh": q_ann_rp_lsh,
         "ann_ivf": q_ann_ivf,
+        "semantic_dedup": q_semantic_dedup,
         "media_features": q_media_features,
         "pricing_summary": q_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
@@ -1582,5 +1598,55 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cos DESC, neighbor_id) AS rank
               FROM scored
             ) WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # SemDeDup replay: same portable centroids + integer-L2 assignment
+        # as ann_ivf, then within-cell cosine pairs (rounded to 6 dp BEFORE
+        # the threshold, matching semantic_pairs) and min-id connected
+        # components via the recursive reach CTE (same pattern as
+        # minhash_clusters)
+        "semantic_dedup": """
+            WITH RECURSIVE e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+              FROM embeddings
+            ), cent AS (
+              SELECT row_number() OVER (ORDER BY md5('ivf:' || vec_id), vec_id) - 1
+                       AS cell,
+                     qv AS cv
+              FROM (SELECT vec_id, qv FROM e
+                    ORDER BY md5('ivf:' || vec_id), vec_id LIMIT 16)
+            ), dist AS (
+              SELECT e.vec_id, c.cell,
+                     list_dot_product(e.qv, e.qv)
+                     - 2 * list_dot_product(e.qv, c.cv)
+                     + list_dot_product(c.cv, c.cv) AS d
+              FROM e CROSS JOIN cent c
+            ), assigned AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cell) AS rn
+                FROM dist
+              ) WHERE rn = 1
+            ), p AS (
+              SELECT a.vec_id AS ia, b.vec_id AS ib
+              FROM assigned a
+              JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              JOIN e ea ON ea.vec_id = a.vec_id
+              JOIN e eb ON eb.vec_id = b.vec_id
+              WHERE round(list_dot_product(ea.v, eb.v) /
+                          (sqrt(list_dot_product(ea.v, ea.v)) *
+                           sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.45
+            ), ed AS (
+              SELECT ia AS src, ib AS dst FROM p
+              UNION SELECT ib, ia FROM p
+            ), reach(a, b) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT r.a, ed.dst FROM reach r JOIN ed ON r.b = ed.src
+            )
+            SELECT a AS id, min(b) AS gid, (a = min(b)) AS keep
+            FROM reach GROUP BY a ORDER BY id
         """,
     }

@@ -30,6 +30,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_rp_lsh",
     "ann_ivf",
+    "semantic_dedup",
     "quality_scores",
     "repetition_stats",
     "chunk_dedup",

@@ -251,3 +251,74 @@ def test_frame_sample_plan_offsets(spark):
     assert list(u1["frame_idx"]) == [0, 1, 2, 3]
     assert (got.url == "u2").sum() == 0  # empty payload -> no frames
     assert list(got[got.url == "u3"]["offset"]) == [0]
+
+
+# ---------------------------------------------------------------- semantic
+
+
+def _semantic_brute_groups(pdf: pd.DataFrame, tau: float) -> dict[int, int]:
+    """Brute-force oracle: min-id connected components over ALL pairs with
+    cosine >= tau (no cell blocking), via python union-find."""
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    ids = pdf["vec_id"].tolist()
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if round(sims[i, j], 6) >= tau:
+                ra, rb = find(ids[i]), find(ids[j])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in ids}
+
+
+def test_semantic_dedup_groups_planted_twins(spark):
+    """Production path (kmeans centroids): every planted twin pair must land
+    in one component (cosine ~0.9998 >> tau), non-twins must stay apart, and
+    keep marks exactly one doc per component."""
+    from webdedup.semantic import semantic_dedup
+
+    pdf = _vectors(40)  # ids 0..39 bases, 40..79 their near-twins
+    df = spark.createDataFrame(pdf).repartition(4)
+    out, skew = semantic_dedup(df, tau=0.95, n_cells=8, centroids="kmeans")
+    got = {r["id"]: (r["gid"], r["keep"]) for r in out.collect()}
+    assert len(got) == 80
+    truth = _semantic_brute_groups(pdf, tau=0.95)
+    # cell blocking can only LOSE pairs (twins in different cells), never
+    # invent them: every spark group must be a subset of a truth group
+    for i, (gid, keep) in got.items():
+        assert truth[gid] == truth[i], f"{i} grouped with {gid} across truth"
+        assert keep == (i == gid)
+    # recall of planted twins: with 8 cells over 40 tight clusters the
+    # quantizer may split a few twin pairs; require >= 0.9 and report
+    hit = sum(1 for b in range(40) if got[b][0] == got[b + 40][0])
+    assert hit >= 36, f"twin recall {hit}/40"
+    sk = skew.collect()[0]
+    assert sk["method"] == "semantic" and sk["dropped_rows"] == 0
+
+
+def test_semantic_dedup_cell_cap_reports_dropped_mass(spark):
+    """The capped-mass contract: cells above cell_cap produce NO pairs and
+    their row mass lands in the metrics DataFrame."""
+    from webdedup.semantic import semantic_dedup
+
+    pdf = _vectors(30)
+    df = spark.createDataFrame(pdf)
+    # portable centroids: n_cells=1 is legal there (Spark ML KMeans needs
+    # k >= 2) and guarantees one 60-row cell over the cap
+    out, skew = semantic_dedup(df, tau=0.95, n_cells=1, centroids="portable",
+                               cell_cap=10)
+    sk = skew.collect()[0]
+    assert sk["dropped_cells"] == 1 and sk["dropped_rows"] == 60
+    rows = out.collect()
+    assert len(rows) == 60
+    assert all(r["gid"] == r["id"] and r["keep"] for r in rows)
