@@ -504,3 +504,49 @@ def test_compact_index_preserves_assignments_and_replay(spark, tmp_path):
     }
     assert replay == first
     assert _bloom_file(compacted_dir, 3).exists()
+
+
+def test_stream_driver_auto_compacts(spark, tmp_path):
+    """run_incremental(compact_every=2) folds older epoch indexes into a
+    merged artifact mid-stream; assignments equal a never-compacting run."""
+    from webdedup.streaming import (
+        _index_path,
+        _merged_high_water,
+        read_state,
+        run_incremental,
+    )
+    from webdedup.synth import generate_pages, pages_to_spark
+
+    cfg = DedupConfig()
+    pages_pd, _, _ = generate_pages(n_docs=120, seed=11)
+    sdf = pages_to_spark(spark, pages_pd)
+
+    def drive(tag: str, compact_every: int) -> set:
+        src = tmp_path / f"src_{tag}"
+        for i in range(4):
+            sdf.where(F.pmod(F.xxhash64("url"), F.lit(4)) == i).coalesce(
+                1
+            ).write.mode("append").parquet(str(src / f"f{i}"))
+        state_dir = str(tmp_path / f"state_{tag}")
+        # one file per trigger -> 4 batches
+        q = run_incremental(
+            spark, str(src / "*"), state_dir, cfg, compact_every=compact_every
+        )
+        q.awaitTermination(240)
+        return state_dir
+
+    plain_dir = drive("plain", compact_every=0)
+    auto_dir = drive("auto", compact_every=2)
+    plain = {
+        (r["url"], r["gid"])
+        for r in read_state(spark, plain_dir).select("url", "gid").collect()
+    }
+    auto = {
+        (r["url"], r["gid"])
+        for r in read_state(spark, auto_dir).select("url", "gid").collect()
+    }
+    assert plain == auto
+    assert _merged_high_water(plain_dir) is None
+    high = _merged_high_water(auto_dir)
+    assert high is not None
+    assert not (_index_path(auto_dir) / "epoch=0" / "_SUCCESS").exists()

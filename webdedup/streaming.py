@@ -570,8 +570,15 @@ def run_incremental(
     state_dir: str,
     cfg: DedupConfig | None = None,
     max_files_per_trigger: int = 1,
+    compact_every: int = 8,
 ):
     """Drive a file-source stream through process_batch; returns the query.
+
+    compact_every: once more than this many per-epoch index directories sit
+    above the merged high-water, compact_index folds them after the batch
+    commits (0 disables).  Compaction runs strictly between batches on
+    epochs below the one just committed, so a replay of that epoch still
+    sees a reference index that excludes its own rows.
 
     Batch-mode callers can invoke process_batch directly — foreachBatch
     receives exactly the same DataFrame shape (SURVEY §2.10: resumability
@@ -607,6 +614,12 @@ def run_incremental(
         process_batch(
             spark, batch_df, state_dir, cfg, epoch_id=epoch_base + epoch_id
         )
+        if compact_every:
+            committed = _committed_epochs(state_dir)
+            high = _merged_high_water(state_dir)
+            tail = [e for e in committed[:-1] if high is None or e > high]
+            if len(tail) >= compact_every:
+                compact_index(spark, state_dir)
 
     return (
         stream.writeStream.foreachBatch(handle)
