@@ -216,6 +216,12 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__toks"), k=5, hash_fn="md5"
         ).alias("fingerprint"),
     ).persist()
+    # registered so a long-lived session can free it (release_key_caches);
+    # the result DataFrame reads fp until collected, so it cannot be
+    # unpersisted inside this function
+    from webdedup.candidates import _registry
+
+    _registry().append(fp)
     new = fp.where(F.col("doc_id") % 5 == 0)
     corpus = fp.where(F.col("doc_id") % 5 != 0)
     res = incremental_dedup(new, corpus, "fingerprint")
@@ -539,10 +545,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the components (recursive CTE) exactly; tau=0.45 is calibrated to the
     synthetic embeddings (near-random vectors, max pairwise cosine ~0.5 —
     real SemDeDup operates at ~0.95 on real encoder output)."""
+    from webdedup.candidates import release_key_caches
     from webdedup.semantic import semantic_dedup
 
     emb = _read(spark, sf_dir, "embeddings")
     out, _skew = semantic_dedup(emb, tau=0.45, n_cells=16, centroids="portable")
+    # components are materialized inside semantic_dedup and the skew
+    # metrics are discarded here, so the persisted cell index is done
+    release_key_caches()
     return out.orderBy("id")
 
 

@@ -322,3 +322,29 @@ def test_semantic_dedup_cell_cap_reports_dropped_mass(spark):
     rows = out.collect()
     assert len(rows) == 60
     assert all(r["gid"] == r["id"] and r["keep"] for r in rows)
+
+
+def test_semantic_dedup_handles_negative_and_large_ids(spark):
+    """gid must be the NUMERIC min id per component across the full int64
+    domain (the string encoding shifts into unsigned space before the
+    lexicographic CC min)."""
+    from webdedup.semantic import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((3, DIM))
+    ids = [-12, -5, 7, (1 << 62) + 3, -(1 << 62)]
+    # twins: (-12, -5) share base0, (7, 2^62+3) share base1, -(2^62) alone
+    vecs = np.stack([base[0], base[0] + 1e-3, base[1], base[1] + 1e-3, base[2]])
+    pdf = pd.DataFrame(
+        {"vec_id": ids, "embedding": [v.astype(np.float32).tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    out, _ = semantic_dedup(df, tau=0.95, n_cells=2, centroids="portable")
+    got = {r["id"]: (r["gid"], r["keep"]) for r in out.collect()}
+    assert got[-12] == (-12, True)
+    assert got[-5][0] in (-12, -5)  # same cell => grouped under the MIN (-12)
+    if got[-5][0] == -12:  # cells may split a twin pair; min-id law holds
+        assert got[-5] == (-12, False)
+    assert got[7][0] in (7,)
+    assert got[(1 << 62) + 3][0] in (7, (1 << 62) + 3)
+    assert got[-(1 << 62)] == (-(1 << 62), True)

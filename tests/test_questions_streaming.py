@@ -550,3 +550,37 @@ def test_stream_driver_auto_compacts(spark, tmp_path):
     high = _merged_high_water(auto_dir)
     assert high is not None
     assert not (_index_path(auto_dir) / "epoch=0" / "_SUCCESS").exists()
+
+
+def test_compact_index_sweeps_crash_orphans(spark, tmp_path):
+    """A crash between the merged write and the cleanup leaves per-epoch
+    dirs the merged artifact covers; the next compact_index call (even when
+    'already compact') must sweep them."""
+    import shutil
+
+    from webdedup.streaming import (
+        _bloom_file,
+        _index_path,
+        compact_index,
+        process_batch,
+    )
+    from webdedup.synth import generate_pages, pages_to_spark
+
+    cfg = DedupConfig()
+    pages_pd, _, _ = generate_pages(n_docs=90, seed=13)
+    sdf = pages_to_spark(spark, pages_pd)
+    state_dir = str(tmp_path / "state")
+    for e in range(3):
+        b = sdf.where(F.pmod(F.xxhash64("url"), F.lit(3)) == e)
+        process_batch(spark, b, state_dir, cfg, epoch_id=e).count()
+    assert compact_index(spark, state_dir) == 1
+    root = _index_path(state_dir)
+    # simulate the crash leftovers: a covered epoch dir + bloom reappear
+    (root / "epoch=0").mkdir()
+    (root / "epoch=0" / "_SUCCESS").touch()
+    _bloom_file(state_dir, 0).write_bytes(b"\0" * 8)
+    # nothing new to merge -> early 'already compact' path must still sweep
+    assert compact_index(spark, state_dir) == 1
+    assert not (root / "epoch=0").exists()
+    assert not _bloom_file(state_dir, 0).exists()
+    shutil.rmtree(state_dir)

@@ -34,18 +34,27 @@ ivf_topk deployment shape.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 from webdedup.ann import dot, ivf_build
 from webdedup.candidates import _registry
 from webdedup.cluster import connected_components
 
-# zero-padded decimal ids: connected_components is string-typed and picks
-# the lexicographic min per component; padding makes that the NUMERIC min
-# so gids survive the round-trip back to int64 (precondition: ids >= 0,
-# < 10^18 — both guaranteed by xxhash64-free synthetic vec_ids and checked
-# cheaply in semantic_dedup)
-_ID_WIDTH = 18
+# connected_components is string-typed and picks the LEXICOGRAPHIC min per
+# component; ids are made sortable-as-strings by shifting into the unsigned
+# domain (id + 2^63, exact in decimal(20,0)) and left-padding to 20 digits —
+# total over all of int64, no sign or magnitude precondition
+def _id_shift() -> Column:
+    # 2^63 exceeds the int64 range py4j literals travel in -> string cast
+    return F.lit("9223372036854775808").cast("decimal(20,0)")
+
+
+def _encode_id(c: Column) -> Column:
+    return F.lpad((c.cast("decimal(20,0)") + _id_shift()).cast("string"), 20, "0")
+
+
+def _decode_id(c: Column) -> Column:
+    return (c.cast("decimal(20,0)") - _id_shift()).cast("bigint")
 
 
 def semantic_pairs(
@@ -138,18 +147,23 @@ def semantic_dedup(
     centroids='portable' makes the whole operator engine-replayable (the
     driver query's oracle recomputes centroid choice, cell assignment,
     pair set and components in SQL); 'kmeans' is the production quantizer.
+
+    Cache lifecycle: the persisted cell index lands in the shared key-cache
+    registry; once the assignments (and skew metrics, which read the index)
+    are materialized, the caller releases it with
+    candidates.release_key_caches() — the same contract the LSH candidate
+    stage documents.
     """
     pairs, skew_metrics = semantic_pairs(
         corpus, tau, n_cells, id_col, vec_col, centroids, seed, cell_cap
     )
-    pad = f"%0{_ID_WIDTH}d"
     edges = pairs.select(
-        F.format_string(pad, F.col("id_a")).alias("url_a"),
-        F.format_string(pad, F.col("id_b")).alias("url_b"),
+        _encode_id(F.col("id_a")).alias("url_a"),
+        _encode_id(F.col("id_b")).alias("url_b"),
     )
     comp = connected_components(edges).select(
-        F.col("url").cast("bigint").alias("id"),
-        F.col("gid").cast("bigint").alias("__gid"),
+        _decode_id(F.col("url")).alias("id"),
+        _decode_id(F.col("gid")).alias("__gid"),
     )
     out = (
         corpus.select(F.col(id_col).alias("id"))

@@ -177,7 +177,53 @@ def _index_coverage(
     return (high, tail)
 
 
-def compact_index(spark: SparkSession, state_dir: str) -> int | None:
+def _index_source_roots(state_dir: str, high: int | None, tail: list[int]) -> list[str]:
+    root = _index_path(state_dir)
+    return ([str(root / f"merged={high}")] if high is not None else []) + [
+        str(root / f"epoch={e}") for e in tail
+    ]
+
+
+def _read_index(
+    spark: SparkSession, state_dir: str, high: int | None, tail: list[int]
+) -> DataFrame:
+    """The band-key index rows covered by (high, tail) — one read per source
+    root (a single multi-root read would try to reconcile the merged=/epoch=
+    directory names as conflicting partition columns), unioned by name.
+    Callers' column prunes / part filters push down through the Union."""
+    return reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.option("basePath", s).parquet(s)
+            for s in _index_source_roots(state_dir, high, tail)
+        ],
+    )
+
+
+def _sweep_covered(state_dir: str, high: int) -> None:
+    """Delete index artifacts the merged=<high> artifact supersedes: every
+    per-epoch dir/bloom with epoch <= high and every older merged artifact.
+    Nothing reads them (_index_coverage tails are strictly > high), but a
+    crash between a merged write and this cleanup would otherwise leak them
+    forever — the early 'already compact' return must retry the sweep."""
+    import shutil
+
+    root = _index_path(state_dir)
+    for d in root.glob("epoch=*"):
+        e = int(d.name.split("=", 1)[1])
+        if e <= high:
+            shutil.rmtree(d, ignore_errors=True)
+            _bloom_file(state_dir, e).unlink(missing_ok=True)
+    for d in root.glob("merged=*"):
+        h = int(d.name.split("=", 1)[1])
+        if h < high:
+            shutil.rmtree(d, ignore_errors=True)
+            _bloom_file_merged(state_dir, h).unlink(missing_ok=True)
+
+
+def compact_index(
+    spark: SparkSession, state_dir: str, min_tail: int = 0
+) -> int | None:
     """Merge committed epochs' band-key indexes + blooms into one compacted
     artifact, then drop the per-epoch dirs it covers — the log-structured-
     table maintenance step that keeps per-batch index reads O(1)
@@ -192,9 +238,12 @@ def compact_index(spark: SparkSession, state_dir: str) -> int | None:
     merged artifact lands before any per-epoch dir is removed, and a
     half-finished removal only leaves duplicate index rows, which reads
     dedup.  Returns the new high-water epoch, or None when there is nothing
-    to compact."""
-    import shutil
+    to compact.
 
+    min_tail: skip (returning the current high-water) unless at least this
+    many per-epoch dirs sit above it — the auto-compaction trigger
+    run_incremental uses, kept here so the tail derivation has ONE owner
+    (_index_coverage)."""
     epochs = _committed_epochs(state_dir)
     if len(epochs) < 2:
         return _merged_high_water(state_dir)
@@ -204,22 +253,18 @@ def compact_index(spark: SparkSession, state_dir: str) -> int | None:
         return None  # legacy/mixed layout: nothing safely compactable
     old_high, tail = cov
     high = target[-1]
-    if old_high == high and not tail:
-        return old_high  # already compact
+    if (old_high == high and not tail) or len(tail) < min_tail:
+        # already compact / below the trigger — still retry the cleanup a
+        # crash between the merged write and the sweep may have skipped
+        if old_high is not None:
+            _sweep_covered(state_dir, old_high)
+        return old_high
     root = _index_path(state_dir)
-    sources = ([str(root / f"merged={old_high}")] if old_high is not None else []) + [
-        str(root / f"epoch={e}") for e in tail
-    ]
-    # one read per source root (each discovers only its own part=* dirs;
-    # a single multi-root read would see conflicting partition columns
-    # merged= vs epoch=), unioned then deduped
-    parts = [
-        spark.read.option("basePath", s).parquet(s).select(
-            "ref_url", "ref_gid", "key_idx", "key_hash", "k64", "part"
-        )
-        for s in sources
-    ]
-    merged = reduce(lambda a, b: a.unionByName(b), parts).distinct()
+    merged = (
+        _read_index(spark, state_dir, old_high, tail)
+        .select("ref_url", "ref_gid", "key_idx", "key_hash", "k64", "part")
+        .distinct()
+    )
     merged.write.mode("overwrite").partitionBy("part").parquet(
         str(root / f"merged={high}")
     )
@@ -234,12 +279,7 @@ def compact_index(spark: SparkSession, state_dir: str) -> int | None:
     bf.parent.mkdir(parents=True, exist_ok=True)
     bf.write_bytes(bits.tobytes())
     # drop what the merged artifact covers (merged landed first = crash-safe)
-    for e in tail:
-        shutil.rmtree(root / f"epoch={e}", ignore_errors=True)
-        _bloom_file(state_dir, e).unlink(missing_ok=True)
-    if old_high is not None and old_high != high:
-        shutil.rmtree(root / f"merged={old_high}", ignore_errors=True)
-        _bloom_file_merged(state_dir, old_high).unlink(missing_ok=True)
+    _sweep_covered(state_dir, high)
     return high
 
 
@@ -247,7 +287,6 @@ def _match_against_index(
     spark: SparkSession,
     batch_sigs: DataFrame,
     state_dir: str,
-    epochs: list[int],
     coverage: tuple[int | None, list[int]],
     cfg: DedupConfig,
 ) -> DataFrame:
@@ -285,19 +324,8 @@ def _match_against_index(
     if not live_parts:  # nothing in the batch can collide with state
         return batch_sigs.sparkSession.createDataFrame([], "url string, gid string")
 
-    root = _index_path(state_dir)
-    sources = ([str(root / f"merged={high}")] if high is not None else []) + [
-        str(root / f"epoch={e}") for e in tail
-    ]
-    # one read per source root: a multi-root read would try to reconcile
-    # the merged=/epoch= directory names as partition columns
-    ref = reduce(
-        lambda a, b: a.unionByName(b),
-        [
-            spark.read.option("basePath", s).parquet(s)
-            .where(F.col("part").isin(live_parts))
-            for s in sources
-        ],
+    ref = _read_index(spark, state_dir, high, tail).where(
+        F.col("part").isin(live_parts)
     )
     cand = (
         survivors.select("url", "shingles", "key_idx", "key_hash")
@@ -305,7 +333,10 @@ def _match_against_index(
         .select("url", "shingles", "ref_url", "ref_gid")
         .distinct()
     )
-    refsh = read_state(spark, state_dir, before_epoch=epochs[-1] + 1).select(
+    # the newest covered epoch: tail entries are strictly above the merged
+    # high-water, so max(coverage) is tail[-1] when a tail exists, else high
+    last_covered = tail[-1] if tail else high
+    refsh = read_state(spark, state_dir, before_epoch=last_covered + 1).select(
         F.col("url").alias("ref_url"), F.col("shingles").alias("ref_shingles")
     )
     verified = (
@@ -403,9 +434,7 @@ def process_batch(
         committed_below = [e for e in _committed_epochs(state_dir) if e < epoch_id]
         coverage = _index_coverage(state_dir, committed_below)
         if coverage is not None:
-            matched = _match_against_index(
-                spark, sigs, state_dir, committed_below, coverage, cfg
-            )
+            matched = _match_against_index(spark, sigs, state_dir, coverage, cfg)
         else:
             matched = _match_against(sigs, state, cfg)
     else:
@@ -574,7 +603,7 @@ def run_incremental(
 ):
     """Drive a file-source stream through process_batch; returns the query.
 
-    compact_every: once more than this many per-epoch index directories sit
+    compact_every: once at least this many per-epoch index directories sit
     above the merged high-water, compact_index folds them after the batch
     commits (0 disables).  Compaction runs strictly between batches on
     epochs below the one just committed, so a replay of that epoch still
@@ -615,11 +644,7 @@ def run_incremental(
             spark, batch_df, state_dir, cfg, epoch_id=epoch_base + epoch_id
         )
         if compact_every:
-            committed = _committed_epochs(state_dir)
-            high = _merged_high_water(state_dir)
-            tail = [e for e in committed[:-1] if high is None or e > high]
-            if len(tail) >= compact_every:
-                compact_index(spark, state_dir)
+            compact_index(spark, state_dir, min_tail=compact_every)
 
     return (
         stream.writeStream.foreachBatch(handle)
