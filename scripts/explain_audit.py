@@ -29,6 +29,7 @@ AUDIT = [
     "gopher_filter",
     "events_windowed",
     "user_sessions",
+    "semantic_dedup",
 ]
 
 
