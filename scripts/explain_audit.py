@@ -30,6 +30,18 @@ AUDIT = [
     "events_windowed",
     "user_sessions",
     "semantic_dedup",
+    "substring_overlaps",
+    "ann_rp_lsh",
+    "ann_ivf",
+    "mix_corpus",
+    "golden_record_users",
+    "media_features",
+    "lang_id",
+    "doc_fingerprint",
+    "rolling_fingerprint",
+    "token_counts",
+    "simhash_signatures",
+    "id_normalize",
 ]
 
 
