@@ -103,6 +103,20 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", n_tokens.alias("n_tokens")).orderBy("doc_id")
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish variant: GPT-2-style pre-tokenizer pieces
+    (webdedup.textstats.BPE_SPLIT_PATTERN) — the vocabulary-free proxy for
+    LLM token cost used to weight data mixtures.  One codegen-native
+    regexp_extract_all per row; the oracle replays the identical pattern
+    on DuckDB's RE2."""
+    from webdedup.textstats import bpe_token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens")
+    ).orderBy("doc_id")
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, token stats, stopword + unique-token ratios.
     Staged: the token array is materialized once per row (CollapseProject
@@ -862,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_keep": q_dedup_exact_keep,
         "lang_distribution": q_lang_distribution,
         "token_counts": q_token_counts,
+        "bpe_token_counts": q_bpe_token_counts,
         "quality_scores": q_quality_scores,
         "doc_fingerprint": q_doc_fingerprint,
         "token_jaccard_pairs": q_token_jaccard_pairs,
@@ -902,7 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from webdedup.normalize import _ACCENTS_DST, _ACCENTS_SRC, _SEP_REGEX
-    from webdedup.textstats import lang_id_sql
+    from webdedup.textstats import bpe_token_count_sql, lang_id_sql
 
     stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
     # the exact tokenizer of webdedup.normalize.tokens(), as DuckDB SQL
@@ -937,6 +952,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "bpe_token_counts": f"""
+            SELECT doc_id, {bpe_token_count_sql("text")} AS n_bpe_tokens
             FROM documents ORDER BY doc_id
         """,
         "quality_scores": rf"""

@@ -41,6 +41,7 @@ HEADLINE = [
     "gopher_filter",
     "lang_id",
     "doc_fingerprint",
+    "bpe_token_counts",
     "media_features",
     "pricing_summary",
     "top_orders_per_customer",

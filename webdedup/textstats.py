@@ -131,6 +131,43 @@ def lang_id_sql(text_expr: str = "text") -> str:
     return f"CASE {whens} ELSE 'und' END"
 
 
+# GPT-2-style pre-tokenizer split (the public regex from the GPT-2 release,
+# reused by BPE tokenizers since), restricted to the subset java.util.regex
+# (Spark) and RE2 (DuckDB) implement IDENTICALLY so the oracle can run the
+# same pattern:
+#  - the original's `\s+(?!\S)` branch is dropped (RE2 has no lookahead);
+#    interior whitespace runs therefore split differently from tiktoken's
+#    gpt2 encoding, but the operator defines its own deterministic count —
+#    the parity target is Spark == oracle, not == any one tokenizer.
+#  - `\s` is spelled as an explicit class: Java's \s includes \x0B,
+#    RE2's does not.
+# Both engines use leftmost-FIRST alternation (Java NFA; RE2 with
+# longest_match off, DuckDB's default), so branch order — contractions
+# before the letter branch — behaves the same.
+BPE_SPLIT_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?\\p{L}+"
+    "| ?\\p{N}+"
+    "| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+"
+    "|[ \\t\\n\\r\\f]+"
+)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer pieces under
+    BPE_SPLIT_PATTERN.  A cheap, vocabulary-free proxy for LLM token cost
+    (real BPE merges only ever split WITHIN these pieces, so this counts
+    merge units, the stable denominator for mixture weighting).  Pure
+    Catalyst — one regexp_extract_all per row, codegen-native."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
+
+
+def bpe_token_count_sql(text_expr: str = "text") -> str:
+    """The DuckDB replay of bpe_token_count — same pattern, RE2 side."""
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all({text_expr}, '{pat}'))"
+
+
 def rolling_fingerprint_from_tokens(
     toks: Column, k: int = 5, hash_fn: str = "xxhash64"
 ) -> Column:
