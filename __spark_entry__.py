@@ -762,6 +762,103 @@ def q_substring_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rejoin_urls(verified, doc_ids(pages)).orderBy("url_a", "url_b")
 
 
+def q_dedup_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered-dedup attribution report: how many duplicate pairs each tier
+    of the cascade catches, with precedence exact > near > substring — the
+    audit table a tiered deployment reads to tune thresholds and decide
+    which (expensive) tiers pay for themselves.
+
+    Tier semantics are PORTABLE (text-hash equality + exact bigram-shingle
+    Jaccard + 120-char shared-window certificates), so the oracle replays
+    them brute-force; the Spark side generates pair candidates with the
+    production machinery (LSH bands/blocks, winnowing anchors), whose
+    blocking recall is 1.0 at oracle scale (same verified assumption
+    minhash_clusters' green oracle rests on).
+
+      exact:     star pairs within identical-text groups, sum(n-1)
+      near:      pairs with shingle Jaccard >= jaccard_threshold whose
+                 texts differ (found via minhash+simhash LSH)
+      substring: verified >=120-char-window pairs not already exact/near
+    """
+    from webdedup.candidates import (
+        minhash_candidates,
+        release_key_caches,
+        simhash_candidates,
+        union_candidates,
+    )
+    from webdedup.config import DedupConfig
+    from webdedup.normalize import tokens
+    from webdedup.signatures import compute_signatures, shingle_strings_from_tokens
+    from webdedup.substring import substring_candidates, verify_overlaps
+
+    cfg = DedupConfig(min_overlap_chars=120)
+    docs = _read(spark, sf_dir, "documents")
+    pages = _docs_as_pages(docs).cache()
+
+    exact_n = (
+        pages.groupBy(F.md5("text"))
+        .agg((F.count("*") - F.lit(1)).alias("m"))
+        .agg(F.coalesce(F.sum("m"), F.lit(0)).cast("bigint").alias("n_pairs"))
+        .select(F.lit("exact").alias("tier"), "n_pairs")
+    )
+
+    # attribution basis per doc: exact bigram-shingle set + text hash
+    attrs = pages.select(
+        F.xxhash64("url").alias("did"),
+        shingle_strings_from_tokens(tokens(F.col("text")), cfg.shingle_k).alias("s"),
+        F.md5("text").alias("h"),
+    ).persist()
+
+    def attributed(pairs_did: DataFrame) -> DataFrame:
+        # candidate pairs are UDF/agg-derived (planner estimates unusable)
+        # and attrs carries the shingle arrays — pin shuffle_hash like
+        # rejoin_urls does for the same shape
+        a = attrs.select(
+            F.col("did").alias("did_a"), F.col("s").alias("sa"), F.col("h").alias("ha")
+        )
+        b = attrs.select(
+            F.col("did").alias("did_b"), F.col("s").alias("sb"), F.col("h").alias("hb")
+        )
+        j = pairs_did.join(a.hint("shuffle_hash"), "did_a").join(
+            b.hint("shuffle_hash"), "did_b"
+        )
+        inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+        union = F.size(F.array_union(F.col("sa"), F.col("sb")))
+        return j.withColumn(
+            "jacc", F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        )
+
+    signatures = compute_signatures(pages, cfg)
+    mh, _ = minhash_candidates(signatures, cfg, did_pairs=True)
+    sh, _ = simhash_candidates(signatures, cfg, did_pairs=True)
+    near_n = (
+        attributed(union_candidates(mh, sh).select("did_a", "did_b"))
+        .where(
+            (F.col("jacc") >= cfg.jaccard_threshold) & (F.col("ha") != F.col("hb"))
+        )
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .select(F.lit("near").alias("tier"), "n_pairs")
+    )
+
+    ss_pairs, _ = substring_candidates(pages, cfg, did_pairs=True)
+    verified = verify_overlaps(ss_pairs, pages, cfg).select("did_a", "did_b")
+    sub_n = (
+        attributed(verified)
+        .where(
+            (F.col("jacc") < cfg.jaccard_threshold) & (F.col("ha") != F.col("hb"))
+        )
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .select(F.lit("substring").alias("tier"), "n_pairs")
+    )
+
+    out = exact_n.unionByName(near_n).unionByName(sub_n).orderBy("tier")
+    out = out.localCheckpoint()  # materialize before releasing the caches
+    release_key_caches()
+    attrs.unpersist()
+    pages.unpersist()
+    return out
+
+
 def q_explain_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-method retrieval 'explain' breakdown — the ES explain-API
     equivalent (suricate/dbconnectors/esconnector.py:237-294, which drills
@@ -906,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters": q_minhash_clusters,
         "simhash_signatures": q_simhash_signatures,
         "substring_overlaps": q_substring_overlaps,
+        "dedup_tier_counts": q_dedup_tier_counts,
         "explain_scores": q_explain_scores,
         "candidate_topk": q_candidate_topk,
         "id_normalize": q_id_normalize,
@@ -1256,6 +1354,49 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_shared_grams
             FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
             GROUP BY 1, 2 ORDER BY url_a, url_b
+        """,
+        "dedup_tier_counts": f"""
+            WITH tk AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_distinct(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i+1]))
+                          ELSE [array_to_string(toks, ' ')] END AS s
+              FROM tk
+            ), tx AS (
+              SELECT doc_id, md5(text) AS h FROM documents
+            ), jp AS (
+              SELECT a.doc_id AS da, b.doc_id AS db,
+                     len(list_intersect(a.s, b.s)) * 1.0 /
+                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ), ex AS (
+              SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS c
+              FROM (SELECT count(*) AS c FROM documents GROUP BY md5(text)) g
+            ), near AS (
+              SELECT count(*) AS c FROM jp
+              JOIN tx a ON a.doc_id = jp.da JOIN tx b ON b.doc_id = jp.db
+              WHERE jp.j >= 0.5 AND a.h <> b.h
+            ), w AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(range(1, length(text) - 118),
+                            i -> substr(text, i, 120)))) AS g
+              FROM documents WHERE length(text) >= 120
+            ), sp AS (
+              SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
+            ), sub AS (
+              SELECT count(*) AS c FROM sp
+              JOIN jp ON jp.da = sp.da AND jp.db = sp.db
+              JOIN tx a ON a.doc_id = sp.da JOIN tx b ON b.doc_id = sp.db
+              WHERE jp.j < 0.5 AND a.h <> b.h
+            )
+            SELECT 'exact' AS tier, c AS n_pairs FROM ex
+            UNION ALL SELECT 'near', c FROM near
+            UNION ALL SELECT 'substring', c FROM sub
+            ORDER BY tier
         """,
         "simhash_signatures": f"""
             WITH tk AS (
