@@ -135,6 +135,14 @@ def test_skew_caps_fire_and_recall_holds(spark, cfg, tmp_path):
     m = pair_metrics(pred, truth)
     assert m["recall"] >= 0.99, (m, drops)
 
+    # decisions-stage manifest attributes accepted pairs to their candidate
+    # source (the tiered-dedup audit companion to skew_drops)
+    dman = out["_checkpointer"].manifest("decisions")
+    by_method = dman["metrics"]["positive_pairs_by_method"]
+    assert by_method.get("minhash", 0) > 0, by_method
+    assert by_method.get("exact", 0) > 0, by_method
+    assert sum(by_method.values()) > 0
+
 
 def test_checkpoint_resume_validates_data(spark, corpus, cfg, tmp_path):
     """A manifest that survives a corrupted/partial data dir must NOT be

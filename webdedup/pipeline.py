@@ -182,10 +182,26 @@ def run_dedup(
             extra=f":decision=ml:q={n_questions}:truth={truth_fp}",
         )
     else:
+
+        def decision_metrics(out_df: DataFrame) -> dict:
+            """Per-method positive-pair attribution -> the stage manifest
+            (the tiered-dedup audit: which candidate source the accepted
+            pairs came from, so a run can see what each tier of the
+            cascade paid for).  Bounded collect: <= one row per method."""
+            rows = (
+                out_df.where(F.col("is_dup") == 1)
+                .select(F.explode("methods").alias("method"))
+                .groupBy("method")
+                .count()
+                .collect()
+            )
+            return {"positive_pairs_by_method": {r["method"]: r["count"] for r in rows}}
+
         decided = staged(
             "decisions",
             lambda: triage_rule(features, cfg),
             parents=["features"],
+            metrics=decision_metrics if ckpt else None,
         )
     matches = decided.where(F.col("is_dup") == 1)
 
