@@ -240,6 +240,39 @@ def test_extract_features_error_stub_raises(spark):
     )
 
 
+def test_resize_media_contract(spark):
+    from webdedup.multimodal import resize_media
+
+    rows = [("u1", b"\x89PNGabc"), ("u2", b"\xff\xd8\xffxyz"), ("u3", b"")]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    a = resize_media(df, 8, 4).toPandas().sort_values("url").reset_index(drop=True)
+    b = (
+        resize_media(df.repartition(3), 8, 4)
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert list(a["url"]) == ["u1", "u2", "u3"]
+    assert (a["width"] == 8).all() and (a["height"] == 4).all()
+    assert all(len(r) == 32 for r in a["resized"])  # width*height bytes
+    for ra, rb in zip(a["resized"], b["resized"]):
+        assert bytes(ra) == bytes(rb)  # partitioning-invariant
+    assert a.loc[0, "media_type"] == "image/png"
+    # distinct payloads -> distinct resized bytes (digest-derived)
+    assert bytes(a.loc[0, "resized"]) != bytes(a.loc[1, "resized"])
+
+
+def test_resize_media_error_stub_raises(spark):
+    from webdedup.multimodal import resize_media
+
+    df = spark.createDataFrame([("u1", b"data")], "url string, payload binary")
+    with pytest.raises(Exception) as exc:
+        resize_media(df, 4, 4, decode_stub="error").collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
 def test_frame_sample_plan_offsets(spark):
     df = spark.createDataFrame(
         [("u1", b"x" * 100), ("u2", b""), ("u3", b"y" * 10)],

@@ -129,6 +129,70 @@ def extract_features(
     return src.mapInPandas(run, schema=_EXTRACT_SCHEMA)
 
 
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    url_col: str = "url",
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """Resize as a mapInPandas batch operator — same ownership split as
+    extract_features: the Spark side (Arrow binary batches in, fixed-dims
+    binary out, schema contract, partition-parallel) is real; the pixel
+    kernel is the wiring point.  decode_stub='fake' emits a deterministic
+    width*height-byte payload derived from the source digest (stable
+    across partitioning, so downstream exact-dedup of resized media is
+    testable); 'error' raises at the codec wiring point."""
+    if decode_stub not in ("fake", "error"):
+        raise ValueError("decode_stub must be 'fake' or 'error'")
+    if width <= 0 or height <= 0:
+        raise ValueError("width and height must be positive")
+
+    src = media.select(
+        F.col(url_col).alias("url"),
+        F.col(payload_col).alias("payload"),
+        sniff_media_type(F.col(payload_col)).alias("media_type"),
+    )
+    n_out = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if decode_stub == "error":
+                raise NotImplementedError(
+                    "media resize requires codec libraries not present in "
+                    "this container (PIL/ffmpeg); wire the real kernel here"
+                )
+            out = []
+            for p in pdf["payload"]:
+                digest = hashlib.sha256(p or b"").digest()
+                out.append((digest * (n_out // len(digest) + 1))[:n_out])
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "media_type": pdf["media_type"],
+                    "width": np.full(len(pdf), width, dtype=np.int32),
+                    "height": np.full(len(pdf), height, dtype=np.int32),
+                    "resized": out,
+                }
+            )
+
+    return src.mapInPandas(run, schema=_RESIZE_SCHEMA)
+
+
 def frame_sample_plan(
     media: DataFrame,
     every_n_bytes: int = 1 << 16,
