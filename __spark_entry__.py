@@ -718,6 +718,34 @@ def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["clusters"].orderBy("url")
 
 
+def q_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper per duplicate cluster — the keep-best-copy
+    dedup policy (FineWeb/SemDeDup style): within each gid keep the member
+    with the highest unique-token ratio, smallest url on ties, instead of
+    synthesizing a golden record.  One window shuffle on gid on top of the
+    flagship clustering (webdedup.cluster.keep_best)."""
+    from webdedup.cluster import keep_best
+    from webdedup.config import DedupConfig
+    from webdedup.pipeline import run_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = _docs_as_pages(docs).cache()
+    out = run_dedup(spark, pages, DedupConfig(), with_substring=False, with_golden=False)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    quality = pages.select(
+        "url",
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
+            "keeper_score"
+        ),
+    )
+    clustered = out["clusters"].join(quality, "url")
+    members = clustered.groupBy("gid").agg(F.count("*").alias("n_members"))
+    keepers = keep_best(clustered, "keeper_score").select(
+        "gid", F.col("url").alias("keeper"), "keeper_score"
+    )
+    return keepers.join(members, "gid").orderBy("gid")
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures — portable md5 variant (shingle hash = first 8
     md5 digest bytes) so the DuckDB oracle can recompute the exact 64-bit
@@ -1001,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_record_users": q_golden_record_users,
         "sample_questions": q_sample_questions,
         "minhash_clusters": q_minhash_clusters,
+        "cluster_keepers": q_cluster_keepers,
         "simhash_signatures": q_simhash_signatures,
         "substring_overlaps": q_substring_overlaps,
         "dedup_tier_counts": q_dedup_tier_counts,
@@ -1299,6 +1328,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT printf('doc-%08d', a) AS url, printf('doc-%08d', min(b)) AS gid
             FROM reach GROUP BY a ORDER BY url
+        """,
+        "cluster_keepers": rf"""
+            WITH RECURSIVE tk AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_distinct(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i+1]))
+                          ELSE [array_to_string(toks, ' ')] END AS s
+              FROM tk
+            ), p AS (
+              SELECT a.doc_id AS da, b.doc_id AS db
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+                    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+              UNION
+              SELECT a.doc_id, b.doc_id FROM documents a JOIN documents b
+              ON a.doc_id < b.doc_id AND a.text = b.text
+            ), e AS (
+              SELECT da AS src, db AS dst FROM p UNION SELECT db, da FROM p
+            ), reach(a, b) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+            ), cl AS (
+              SELECT a AS did, min(b) AS gid FROM reach GROUP BY a
+            ), q AS (
+              SELECT doc_id,
+                     round(len(list_distinct(t2)) * 1.0 / len(t2), 6) AS q
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(text), '\s+') AS t2
+                    FROM documents)
+            ), ranked AS (
+              SELECT cl.gid, cl.did, q.q,
+                     row_number() OVER (PARTITION BY cl.gid
+                                        ORDER BY q.q DESC, cl.did ASC) AS rn
+              FROM cl JOIN q ON q.doc_id = cl.did
+            ), mem AS (
+              SELECT gid, count(*) AS n_members FROM cl GROUP BY gid
+            )
+            SELECT printf('doc-%08d', r.gid) AS gid,
+                   printf('doc-%08d', r.did) AS keeper,
+                   r.q AS keeper_score,
+                   mem.n_members
+            FROM ranked r JOIN mem ON mem.gid = r.gid
+            WHERE r.rn = 1 ORDER BY gid
         """,
         "explain_scores": """
             WITH ex AS (

@@ -97,3 +97,23 @@ def test_golden_records_policies(spark):
     assert got["g1"]["text_golden"] == "t-late"  # last by warc_ts
     assert got["g1"]["lang_golden"] == "en"      # mode
     assert got["g2"]["url_golden"] == "u9"
+
+
+def test_keep_best_highest_score_smallest_id_tie(spark):
+    from webdedup.cluster import keep_best
+
+    df = spark.createDataFrame(
+        [
+            ("g1", "u3", 0.9),
+            ("g1", "u1", 0.5),
+            ("g1", "u2", 0.9),  # tie with u3 -> smaller url wins
+            ("g2", "u9", 0.1),  # singleton
+        ],
+        "gid string, url string, score double",
+    )
+    got = {r["gid"]: r["url"] for r in keep_best(df, "score").collect()}
+    assert got == {"g1": "u2", "g2": "u9"}
+    # exactly one keeper per gid, original columns preserved
+    out = keep_best(df, "score")
+    assert out.columns == ["gid", "url", "score"]
+    assert out.count() == 2

@@ -224,3 +224,27 @@ def golden_records(
         else:
             raise ValueError(f"unknown golden-record policy {policy!r} for {col_name}")
     return clustered.groupBy("gid").agg(*aggs)
+
+
+def keep_best(
+    clustered: DataFrame, score_col: str, id_col: str = "url"
+) -> DataFrame:
+    """Quality-aware keeper selection: one row per gid — the member with
+    the highest score, ties broken by smallest id.  The keep-best-copy
+    dedup policy training pipelines use (FineWeb/SemDeDup style: keep the
+    best-quality duplicate) vs golden_records' per-column synthesis.
+
+    One row_number window per gid = a single hash shuffle; duplicate
+    clusters are bounded by the dedup semantics (boilerplate cohorts are
+    capped upstream with reported drop mass), so no skew salting needed.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("gid").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        clustered.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
