@@ -93,8 +93,8 @@ def test_shingle_hashes_spark(spark, cfg):
 
 def test_signatures_stable_across_partitioning(spark, cfg, corpus):
     pages = corpus["pages"]
-    one = compute_signatures(pages.repartition(1), cfg)
-    many = compute_signatures(pages.repartition(8), cfg)
+    one = compute_signatures(pages.repartition(1), cfg, keep_minhash=True)
+    many = compute_signatures(pages.repartition(8), cfg, keep_minhash=True)
     a = {r["url"]: (tuple(r["minhash"]), r["simhash"]) for r in one.collect()}
     b = {r["url"]: (tuple(r["minhash"]), r["simhash"]) for r in many.collect()}
     assert a == b

@@ -261,6 +261,13 @@ def minhash_candidates(
     if cfg.minhash_prefilter > 0:
         # optional post-hoc full-signature prefilter, computed in did space
         # so both output modes stay consistent
+        if "minhash" not in signatures.columns:
+            raise ValueError(
+                "minhash_prefilter > 0 needs the full signature column: "
+                "build the table with compute_signatures(..., "
+                "keep_minhash=True) (the default drops it — no other "
+                "consumer reads it)"
+            )
         from webdedup.features import minhash_similarity
 
         sig = signatures.select(F.xxhash64("url").alias("did"), "minhash")

@@ -5,8 +5,10 @@ the similarity substrate (suricate/dbconnectors/esconnector.py:132-153,
 suricate/dftransformers/vectorizer.py:11-107).  Design:
 
   - token k-shingles are built **JVM-side** (sequence + transform + slice +
-    xxhash64) so the hot path stays inside whole-stage codegen and the only
-    Python boundary is one Arrow-batched pandas UDF per signature type;
+    xxhash64) so the hot path stays JVM-native and the only Python boundary
+    is ONE Arrow-batched struct-returning pandas UDF (minhash + simhash +
+    bottom-k sketch fused — the shingle array crosses Arrow once and is
+    never needed again);
   - MinHash uses the standard (a*x + b) mod p universal family over 32-bit
     folded shingle hashes, p = 2^61 - 1, vectorized in numpy over a whole
     Arrow batch at once (no per-row Python — BASELINE.json input_hint);
@@ -196,22 +198,50 @@ def minhash_block(shingle_lists, seeds: np.ndarray, num_perm: int) -> np.ndarray
     return out
 
 
-def make_minhash_udf(cfg: DedupConfig):
-    seeds = _perm_params(cfg.num_perm, cfg.minhash_seed)
-    num_perm = cfg.num_perm
+def make_signature_udf(cfg: DedupConfig):
+    """ONE fused struct-returning pandas UDF computing minhash + simhash +
+    the bottom-k shingle sketch from the shingle array.
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def minhash(shingles: pd.Series) -> pd.Series:
+    Fusion is the signatures stage's memory-traffic fix: with the sketch
+    computed HERE (np.sort of the already-distinct shingle hashes — the
+    identical signed-ascending order F.array_sort produces), the projection
+    AFTER the Arrow boundary never references the shingle array again, so
+    compute_signatures needs no intermediate persist: the full shingle
+    arrays are produced, shipped through Arrow once, and dropped — instead
+    of being written into a columnar cache (whose build churn showed up in
+    the GC profile, BENCH/BASELINE.md) and re-read by an interpreted
+    lambda-comparator array_sort.
+    """
+    seeds = _perm_params(cfg.num_perm, cfg.minhash_seed)
+    num_perm, bits, k = cfg.num_perm, cfg.simhash_bits, cfg.shingle_sketch_k
+    schema = T.StructType(
+        [
+            T.StructField("minhash", T.ArrayType(T.LongType())),
+            T.StructField("simhash", T.LongType()),
+            T.StructField("sketch", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def signature(shingles: pd.Series) -> pd.DataFrame:
         vals = shingles.to_numpy()
         lengths = np.fromiter((len(s) for s in vals), dtype=np.int64)
-        parts = [
-            minhash_block(vals[s:e], seeds, num_perm)
-            for s, e in _row_chunks(lengths, _CHUNK_SHINGLES)
-        ]
-        out = np.concatenate(parts) if parts else np.zeros((0, num_perm), dtype=np.int64)
-        return pd.Series(list(out))
+        mh_parts, sh_parts = [], []
+        for s, e in _row_chunks(lengths, _CHUNK_SHINGLES):
+            mh_parts.append(minhash_block(vals[s:e], seeds, num_perm))
+            sh_parts.append(simhash_block(vals[s:e], bits))
+        mh = (
+            np.concatenate(mh_parts)
+            if mh_parts
+            else np.zeros((0, num_perm), dtype=np.int64)
+        )
+        sh = np.concatenate(sh_parts) if sh_parts else np.zeros(0, dtype=np.int64)
+        # bottom-k sketch: signed-ascending sort, first k — bit-identical to
+        # the previous JVM-side slice(array_sort(shingles), 1, k)
+        sketch = [np.sort(np.asarray(v, dtype=np.int64))[:k] for v in vals]
+        return pd.DataFrame({"minhash": list(mh), "simhash": sh, "sketch": sketch})
 
-    return minhash
+    return signature
 
 
 # --------------------------------------------------------------------------
@@ -246,23 +276,6 @@ def simhash_block(shingle_lists, bits: int) -> np.ndarray:
         )
         out[nonzero] = packed.astype(np.int64)
     return out
-
-
-def make_simhash_udf(cfg: DedupConfig):
-    bits = cfg.simhash_bits
-
-    @F.pandas_udf(T.LongType())
-    def simhash(shingles: pd.Series) -> pd.Series:
-        vals = shingles.to_numpy()
-        lengths = np.fromiter((len(s) for s in vals), dtype=np.int64)
-        parts = [
-            simhash_block(vals[s:e], bits)
-            for s, e in _row_chunks(lengths, _CHUNK_SHINGLES)
-        ]
-        out = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
-        return pd.Series(out)
-
-    return simhash
 
 
 def shingle_strings_from_tokens(toks: Column, k: int) -> Column:
@@ -344,51 +357,59 @@ def simhash_blocks(simhash_col: Column, cfg: DedupConfig) -> Column:
     )
 
 
-def compute_signatures(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """pages(url, text, ...) -> (url, n_tokens, shingles, minhash, simhash, bands, blocks).
+def compute_signatures(
+    pages: DataFrame, cfg: DedupConfig, keep_minhash: bool | None = None
+) -> DataFrame:
+    """pages(url, text, ...) -> (url, n_tokens, shingles, [minhash,] simhash,
+    bands, blocks, mini) — shingles = the bottom-k sketch.
 
-    One JVM pass builds shingle hashes; the two pandas UDFs share the same
-    shingle array column so the text is tokenized exactly once.  Tokens are
-    materialized as a column BEFORE shingling so the transform() lambda
-    captures a bound attribute — an inline tokens() expression would be
-    re-evaluated per shingle position (O(n^2), CodegenFallback; measured
-    ~30x slower at 8k docs).
+    One linear pass: JVM shingle build -> ONE Arrow boundary (fused
+    minhash+simhash+sketch UDF, make_signature_udf) -> JVM band/block/mini
+    derivation from the struct fields.  Tokens are materialized as a column
+    BEFORE shingling so the transform() lambda captures a bound attribute —
+    an inline tokens() expression would be re-evaluated per shingle position
+    (O(n^2), CodegenFallback; measured ~30x slower at 8k docs).
+
+    The full shingle array exists only between the shingle projection and
+    the Arrow boundary; nothing downstream of the UDF references it, so no
+    intermediate persist/cache is needed (earlier versions cached the
+    shingle table because two separate UDFs plus a JVM-side sketch slice all
+    re-read it; that columnar cache build was the signatures stage's largest
+    single memory-traffic item and was never released for the session
+    lifetime).
+
+    The STORED shingle column is the bottom-k sketch (signed-ascending
+    order), constant-size per doc; minhash/simhash are computed from the
+    full set.  jaccard over two sketches via jaccard_sketch (features.py)
+    is exact below k and the unbiased bottom-k estimator above — the full
+    array would cost O(doc_len) per PAIR side in the verification join.
+
+    keep_minhash: include the full num_perm signature column.  Default
+    (None) keeps it only when cfg.minhash_prefilter > 0 — the one consumer
+    (candidates.minhash_candidates' optional post-hoc prefilter join).
+    Everything else reads the derived columns (bands/blocks/mini/sketch),
+    so by default the table drops ~num_perm*8 B/doc of checkpoint write +
+    downstream scan.
     """
-    minhash_udf = make_minhash_udf(cfg)
-    simhash_udf = make_simhash_udf(cfg)
+    if keep_minhash is None:
+        keep_minhash = cfg.minhash_prefilter > 0
+    sig_udf = make_signature_udf(cfg)
     toks_df = pages.select("url", tokens(F.col("text")).alias("toks"))
     df = toks_df.select(
         "url",
         F.size("toks").alias("n_tokens"),
         shingle_hashes_from_tokens(F.col("toks"), cfg.shingle_k).alias("shingles"),
     )
-    # STAGE-SPLIT (measured 10x): feeding the higher-order shingle expression
-    # inline into ArrowEvalPython drops the whole subtree out of codegen into
-    # a pathologically slow interpreted path (74 s vs 6 s for 8k docs at
-    # local[8], first run per JVM).  Persisting the shingle table (memory+
-    # disk, same spill behavior as a shuffle at scale) materializes it with
-    # whole-stage codegen and hands the UDF stage plain attributes.  At
-    # cluster scale this intermediate is the natural signature checkpoint
-    # anyway (see checkpoint.py).
-    df = df.persist()
-    df = df.withColumn("minhash", minhash_udf("shingles")).withColumn(
-        "simhash", simhash_udf("shingles")
-    )
-    # the STORED shingle column is the bottom-k sketch (signed-ascending
-    # order), constant-size per doc; minhash/simhash above were computed
-    # from the full set.  jaccard over two sketches via jaccard_sketch
-    # (features.py) is exact below k and the unbiased bottom-k estimator
-    # above — the full array would cost O(doc_len) per PAIR side in the
-    # verification join.
+    df = df.select("url", "n_tokens", sig_udf("shingles").alias("sig"))
     return df.select(
         "url",
         "n_tokens",
-        F.slice(F.array_sort("shingles"), 1, cfg.shingle_sketch_k).alias("shingles"),
-        "minhash",
-        "simhash",
-        band_hashes(F.col("minhash"), cfg).alias("bands"),
-        simhash_blocks(F.col("simhash"), cfg).alias("blocks"),
-        mini_sketch(F.col("minhash"), cfg).alias("mini"),
+        F.col("sig.sketch").alias("shingles"),
+        *([F.col("sig.minhash").alias("minhash")] if keep_minhash else []),
+        F.col("sig.simhash").alias("simhash"),
+        band_hashes(F.col("sig.minhash"), cfg).alias("bands"),
+        simhash_blocks(F.col("sig.simhash"), cfg).alias("blocks"),
+        mini_sketch(F.col("sig.minhash"), cfg).alias("mini"),
     )
 
 
