@@ -41,6 +41,23 @@ def _docs_as_pages(docs: DataFrame) -> DataFrame:
     )
 
 
+def _release_after(result: DataFrame, *cached) -> DataFrame:
+    """Materialize ``result`` lineage-free (localCheckpoint), then release
+    every cache the query built.  The driver sweeps all queries() in ONE
+    session, so a query that leaves its input/stage caches behind holds
+    executor memory for the whole sweep; after this, the only retained
+    blocks are the result's own checkpoint blocks (which serve the driver's
+    later collect without recompute).  cached entries may be DataFrames or
+    dicts of stage DataFrames (run_dedup output)."""
+    result = result.localCheckpoint()
+    for item in cached:
+        dfs = item.values() if isinstance(item, dict) else [item]
+        for df in dfs:
+            if isinstance(df, DataFrame):
+                df.unpersist()
+    return result
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -54,7 +71,9 @@ def entry(spark: SparkSession) -> DataFrame:
     docs = _read(spark, SF0001, "documents")
     pages = _docs_as_pages(docs).cache()
     out = run_dedup(spark, pages, DedupConfig(), with_golden=False)
-    return out["clusters"].select("url", "gid").orderBy("url")
+    return _release_after(
+        out["clusters"].select("url", "gid").orderBy("url"), out, pages
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -715,7 +734,7 @@ def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     pages = _docs_as_pages(docs).cache()
     out = run_dedup(spark, pages, DedupConfig(), with_substring=False, with_golden=False)
-    return out["clusters"].orderBy("url")
+    return _release_after(out["clusters"].orderBy("url"), out, pages)
 
 
 def q_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -724,26 +743,22 @@ def q_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the highest unique-token ratio, smallest url on ties, instead of
     synthesizing a golden record.  One window shuffle on gid on top of the
     flagship clustering (webdedup.cluster.keep_best)."""
-    from webdedup.cluster import keep_best
+    from webdedup.cluster import default_keeper_score, keep_best
     from webdedup.config import DedupConfig
     from webdedup.pipeline import run_dedup
 
     docs = _read(spark, sf_dir, "documents")
     pages = _docs_as_pages(docs).cache()
     out = run_dedup(spark, pages, DedupConfig(), with_substring=False, with_golden=False)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    quality = pages.select(
-        "url",
-        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
-            "keeper_score"
-        ),
-    )
+    # explicit whitespace class (not \s): Java \s includes \x0B, RE2/DuckDB
+    # \s does not — default_keeper_score pins '[ \t\n\r\f]+' on both sides
+    quality = pages.select("url", default_keeper_score("text").alias("keeper_score"))
     clustered = out["clusters"].join(quality, "url")
     members = clustered.groupBy("gid").agg(F.count("*").alias("n_members"))
     keepers = keep_best(clustered, "keeper_score").select(
         "gid", F.col("url").alias("keeper"), "keeper_score"
     )
-    return keepers.join(members, "gid").orderBy("gid")
+    return _release_after(keepers.join(members, "gid").orderBy("gid"), out, pages)
 
 
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -807,6 +822,10 @@ def q_dedup_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       near:      pairs with shingle Jaccard >= jaccard_threshold whose
                  texts differ (found via minhash+simhash LSH)
       substring: verified >=120-char-window pairs not already exact/near
+      candidates_dropped: total capped bucket mass (rows) the blocking
+                 stages dropped (oracle pins 0) — when the engine-vs-
+                 brute-force comparison ever diverges at scale, this row
+                 attributes it to the caps instead of a bare hash mismatch
     """
     from webdedup.candidates import (
         minhash_candidates,
@@ -857,8 +876,8 @@ def q_dedup_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     signatures = compute_signatures(pages, cfg)
-    mh, _ = minhash_candidates(signatures, cfg, did_pairs=True)
-    sh, _ = simhash_candidates(signatures, cfg, did_pairs=True)
+    mh, mh_skew = minhash_candidates(signatures, cfg, did_pairs=True)
+    sh, sh_skew = simhash_candidates(signatures, cfg, did_pairs=True)
     near_n = (
         attributed(union_candidates(mh, sh).select("did_a", "did_b"))
         .where(
@@ -868,10 +887,10 @@ def q_dedup_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("near").alias("tier"), "n_pairs")
     )
 
-    ss_pairs, _ = substring_candidates(pages, cfg, did_pairs=True)
-    verified = verify_overlaps(ss_pairs, pages, cfg).select("did_a", "did_b")
+    ss_pairs, ss_skew = substring_candidates(pages, cfg, did_pairs=True)
+    verified, v_skew = verify_overlaps(ss_pairs, pages, cfg, with_metrics=True)
     sub_n = (
-        attributed(verified)
+        attributed(verified.select("did_a", "did_b"))
         .where(
             (F.col("jacc") < cfg.jaccard_threshold) & (F.col("ha") != F.col("hb"))
         )
@@ -879,7 +898,23 @@ def q_dedup_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("substring").alias("tier"), "n_pairs")
     )
 
-    out = exact_n.unionByName(near_n).unionByName(sub_n).orderBy("tier")
+    # capped-mass audit row: the Spark side blocks with LSH bands/anchors
+    # whose over-cap buckets are DROPPED (with reported mass) while the
+    # oracle brute-forces all pairs, so a divergence at larger scale is
+    # attributable here instead of surfacing only as a hash mismatch — the
+    # oracle pins 0, and any nonzero capped mass shows up in THIS row
+    dropped_n = (
+        mh_skew.unionByName(sh_skew).unionByName(ss_skew).unionByName(v_skew)
+        .agg(F.coalesce(F.sum("dropped_rows"), F.lit(0)).cast("bigint").alias("n_pairs"))
+        .select(F.lit("candidates_dropped").alias("tier"), "n_pairs")
+    )
+
+    out = (
+        exact_n.unionByName(near_n)
+        .unionByName(sub_n)
+        .unionByName(dropped_n)
+        .orderBy("tier")
+    )
     out = out.localCheckpoint()  # materialize before releasing the caches
     release_key_caches()
     attrs.unpersist()
@@ -923,7 +958,7 @@ def q_explain_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out = explain_scores(feats)
-    return out.select(
+    res = out.select(
         "url_a",
         "url_b",
         F.array_join("methods", ",").alias("methods"),
@@ -932,6 +967,11 @@ def q_explain_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simhash_score",
         "substring_score",
     ).orderBy("url_a", "url_b")
+    from webdedup.candidates import release_key_caches
+
+    res = _release_after(res, pages)
+    release_key_caches()
+    return res
 
 
 def q_candidate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1359,7 +1399,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      round(len(list_distinct(t2)) * 1.0 / len(t2), 6) AS q
               FROM (SELECT doc_id,
-                           regexp_split_to_array(trim(text), '\s+') AS t2
+                           regexp_split_to_array(trim(text), '[ \t\n\r\f]+') AS t2
                     FROM documents)
             ), ranked AS (
               SELECT cl.gid, cl.did, q.q,
@@ -1472,6 +1512,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'exact' AS tier, c AS n_pairs FROM ex
             UNION ALL SELECT 'near', c FROM near
             UNION ALL SELECT 'substring', c FROM sub
+            -- the oracle brute-forces all pairs, the engine blocks with
+            -- capped buckets: the engine reports its capped mass in this
+            -- row (0 here), so a scale-dependent divergence is attributable
+            UNION ALL SELECT 'candidates_dropped', CAST(0 AS BIGINT)
             ORDER BY tier
         """,
         "simhash_signatures": f"""

@@ -52,7 +52,12 @@ def test_all_tiers_fire_and_match_oracle(spark, docs_dir):
         r["tier"]: r["n_pairs"]
         for r in em.queries()["dedup_tier_counts"](spark, docs_dir).collect()
     }
-    assert got == {"exact": 2, "near": 1, "substring": 1}
+    assert got == {
+        "exact": 2,
+        "near": 1,
+        "substring": 1,
+        "candidates_dropped": 0,  # the capped-mass audit row (0 = no caps hit)
+    }
 
     con = duckdb.connect()
     con.execute(

@@ -147,6 +147,16 @@ def make_portable_sign_signature_udf(dim: int, n_bits: int = 64):
     return sign_sig
 
 
+def auto_n_cells(n_docs: int, docs_per_cell: int = 5000, floor: int = 16) -> int:
+    """The IVF sizing rule (semantic.py module docstring): n_cells ~
+    N / docs_per_cell, floored at 16.  docs_per_cell=5000 keeps the expected
+    within-cell quadratic work ~25M comparisons per cell — at 10^9 docs the
+    default 16 cells would make the within-cell self-join the whole job, so
+    every cell-blocked operator derives its cell count from the corpus size
+    unless the caller pins one explicitly."""
+    return max(floor, -(-n_docs // docs_per_cell))
+
+
 def quantize_int(mat: np.ndarray) -> np.ndarray:
     """floor(v * 1000) as int64 — the same exact-arithmetic portability trick
     as make_portable_sign_signature_udf: float32 -> float64 is exact, *1000
@@ -235,7 +245,7 @@ def _make_cell_udfs(cents: np.ndarray, n_probe: int, quantized: bool):
 
 def ivf_build(
     corpus: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: str = "kmeans",
@@ -254,7 +264,13 @@ def ivf_build(
 
     centroids: 'kmeans' (production, Spark ML Lloyd refinement) or
     'portable' (md5-sampled integer centroids a SQL oracle replays exactly —
-    see portable_centroids)."""
+    see portable_centroids).
+
+    n_cells=None (default) derives the cell count from the corpus size via
+    auto_n_cells (~N/5000, floor 16) — one count() the quantizer training
+    pays anyway; pass an explicit n_cells to pin it."""
+    if n_cells is None:
+        n_cells = auto_n_cells(corpus.count())
     if centroids == "portable":
         cents = portable_centroids(corpus, n_cells, id_col, vec_col)
         quantized = True
@@ -275,7 +291,7 @@ def ivf_topk(
     corpus: DataFrame | None,
     queries: DataFrame,
     k: int = 10,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

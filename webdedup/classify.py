@@ -189,6 +189,7 @@ def run_ml_decision(
     cfg: DedupConfig,
     n_questions: int = 20,
     seed: int = 42,
+    cross_validate: bool = False,
 ) -> DataFrame:
     """Full learned decision path, matching the reference flagship
     (suricate/pipeline/pruningpipe.py:59-135 + explore/explorer.py:8-172):
@@ -206,6 +207,6 @@ def run_ml_decision(
     train = label_candidates(
         triaged.join(budget, ["url_a", "url_b"], "left_semi"), truth_pairs
     )
-    model = fit_classifier(train)
+    model = fit_classifier(train, cross_validate=cross_validate)
     pred = predict_pairs(model, triaged)
     return assemble_decisions(pred)

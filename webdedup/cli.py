@@ -83,10 +83,13 @@ def cmd_run(args: argparse.Namespace) -> None:
         decision=args.decision,
         truth_pairs=truth.select("url_a", "url_b") if truth is not None else None,
         n_questions=args.n_questions,
+        keeper=args.keeper,
     )
     out["clusters"].write.mode("overwrite").parquet(f"{args.output}/clusters")
     if "golden" in out:
         out["golden"].write.mode("overwrite").parquet(f"{args.output}/golden")
+    if "keepers" in out:
+        out["keepers"].write.mode("overwrite").parquet(f"{args.output}/keepers")
     stats = (
         out["clusters"]
         .groupBy("gid")
@@ -140,6 +143,14 @@ def main(argv: list[str] | None = None) -> None:
         type=int,
         default=20,
         help="label budget per question round (Explorer ask-loop size)",
+    )
+    pr.add_argument(
+        "--keeper",
+        choices=["golden", "best"],
+        default="golden",
+        help="per-cluster output: synthesized golden record (default) or "
+        "keep-best-copy — one surviving member per gid scored by "
+        "unique-token ratio (writes <output>/keepers)",
     )
     pr.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
     pr.set_defaults(fn=cmd_run)

@@ -17,7 +17,7 @@ invariant).  Golden-record aggregation maps suricate/grouping.py:224-322
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -227,7 +227,7 @@ def golden_records(
 
 
 def keep_best(
-    clustered: DataFrame, score_col: str, id_col: str = "url"
+    clustered: DataFrame, score_col: str, id_col: str = "url", gid_col: str = "gid"
 ) -> DataFrame:
     """Quality-aware keeper selection: one row per gid — the member with
     the highest score, ties broken by smallest id.  The keep-best-copy
@@ -240,7 +240,12 @@ def keep_best(
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("gid").orderBy(
+    missing = [c for c in (gid_col, score_col, id_col) if c not in clustered.columns]
+    if missing:
+        raise ValueError(f"keep_best: input is missing column(s) {missing}")
+    if "_rn" in clustered.columns:
+        raise ValueError("keep_best: input already has a _rn column")
+    w = Window.partitionBy(gid_col).orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
     return (
@@ -248,3 +253,12 @@ def keep_best(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def default_keeper_score(text_col: str = "text") -> Column:
+    """The default keep-best quality score: unique-token ratio (a cheap,
+    monotone boilerplate/repetition signal — FineWeb-style).  Explicit
+    whitespace class (not engine \\s, which differs between Java and RE2 on
+    \\x0B) so any SQL oracle tokenizes identically."""
+    toks = F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f]+")
+    return F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6)

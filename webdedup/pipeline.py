@@ -21,7 +21,13 @@ from pyspark.sql import functions as F
 from webdedup import candidates as cand
 from webdedup import substring as sub
 from webdedup.checkpoint import Checkpointer, input_fingerprint
-from webdedup.cluster import assign_clusters, connected_components, golden_records
+from webdedup.cluster import (
+    assign_clusters,
+    connected_components,
+    default_keeper_score,
+    golden_records,
+    keep_best,
+)
 from webdedup.config import DedupConfig
 from webdedup.features import compute_features
 from webdedup.signatures import compute_signatures
@@ -38,6 +44,9 @@ def run_dedup(
     decision: str = "rule",
     truth_pairs: DataFrame | None = None,
     n_questions: int = 20,
+    cross_validate: bool = False,
+    keeper: str = "golden",
+    keeper_score=None,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; returns every intermediate as a DataFrame.
 
@@ -47,6 +56,16 @@ def run_dedup(
     or 'ml' (the reference flagship's learned path: question-loop label
     budget from ``truth_pairs`` -> GBT -> PruningPipe assembly; requires
     ``truth_pairs`` with (url_a, url_b) of known matches).
+    cross_validate: ml path only — wrap the GBT pipeline in the
+    CrossValidator grid (classify.fit_classifier).
+
+    keeper: what stage 6 emits when with_golden is true — 'golden'
+    (default: per-column synthesized golden record, the reference's
+    grouping.py policy table) or 'best' (keep-best-copy: ONE surviving
+    member per gid, the training-pipeline keeper policy; out key
+    'keepers').  keeper_score: Column scoring each member for 'best'
+    (higher = kept); default cluster.default_keeper_score — unique-token
+    ratio over an explicit whitespace class.
 
     EAGER by contract: this runner executes the stages at call time even
     without a checkpoint_dir (the candidate count sizes the feature
@@ -60,6 +79,8 @@ def run_dedup(
         raise ValueError("decision must be 'rule' or 'ml'")
     if decision == "ml" and truth_pairs is None:
         raise ValueError("decision='ml' requires truth_pairs (the labeler)")
+    if keeper not in ("golden", "best"):
+        raise ValueError("keeper must be 'golden' or 'best'")
     cfg = cfg or DedupConfig()
     ckpt = (
         Checkpointer(spark, checkpoint_dir, cfg) if checkpoint_dir else None
@@ -85,11 +106,19 @@ def run_dedup(
         return df.withColumn("part", F.pmod(F.xxhash64(col), F.lit(_PART_N)))
 
     # -- 1. signatures -------------------------------------------------------
+    # the part column exists only on the checkpointed layout: in-memory
+    # stages persist the frame AS RETURNED, so the caller's unpersist on the
+    # dict entry releases the actual cache (a drop() AFTER persist would
+    # hand out a child plan whose unpersist misses the cached parent)
     signatures = staged(
         "signatures",
-        lambda: _with_part(compute_signatures(pages, cfg), "url"),
+        (lambda: _with_part(compute_signatures(pages, cfg), "url"))
+        if ckpt
+        else (lambda: compute_signatures(pages, cfg)),
         partition_by=["part"] if ckpt else None,
-    ).drop("part")
+    )
+    if ckpt:
+        signatures = signatures.drop("part")
 
     # -- 2. candidates (four sources, provenance-tagged) ---------------------
     skew_sources: list[DataFrame] = []
@@ -135,11 +164,15 @@ def run_dedup(
 
     pairs = staged(
         "candidates",
-        lambda: _with_part(build_candidates(), "url_a"),
+        (lambda: _with_part(build_candidates(), "url_a"))
+        if ckpt
+        else build_candidates,
         parents=["signatures"],
         partition_by=["part"] if ckpt else None,
         metrics=candidate_metrics if ckpt else None,
-    ).drop("part")
+    )
+    if ckpt:
+        pairs = pairs.drop("part")
 
     # pair count: free from the stage manifest when checkpointed, else one
     # count that also MATERIALIZES the persisted pair list — after which the
@@ -163,6 +196,29 @@ def run_dedup(
     )
 
     # -- 4. decision: rule triage, or the learned question-loop path ---------
+    def decision_metrics(out_df: DataFrame) -> dict:
+        """Per-method positive-pair attribution -> the stage manifest
+        (the tiered-dedup audit: which candidate source the accepted
+        pairs came from, so a run can see what each tier of the
+        cascade paid for) — recorded for BOTH decision paths, so an ml
+        run keeps the same audit trail a rule run has.  Bounded collect:
+        <= one row per method."""
+        rows = (
+            out_df.where(F.col("is_dup") == 1)
+            .select(F.explode("methods").alias("method"))
+            .groupBy("method")
+            .count()
+            .collect()
+        )
+        m: dict = {"positive_pairs_by_method": {r["method"]: r["count"] for r in rows}}
+        if decision == "ml":
+            # the learned path's knobs belong in the manifest next to its
+            # output: budget size and CV choice explain WHY these decisions
+            m["decision"] = "ml"
+            m["n_questions"] = n_questions
+            m["cross_validate"] = cross_validate
+        return m
+
     if decision == "ml":
         from webdedup.classify import run_ml_decision
 
@@ -176,27 +232,17 @@ def run_dedup(
         decided = staged(
             "decisions",
             lambda: run_ml_decision(
-                features, truth_pairs, cfg, n_questions=n_questions
+                features,
+                truth_pairs,
+                cfg,
+                n_questions=n_questions,
+                cross_validate=cross_validate,
             ),
             parents=["features"],
-            extra=f":decision=ml:q={n_questions}:truth={truth_fp}",
+            extra=f":decision=ml:q={n_questions}:cv={cross_validate}:truth={truth_fp}",
+            metrics=decision_metrics if ckpt else None,
         )
     else:
-
-        def decision_metrics(out_df: DataFrame) -> dict:
-            """Per-method positive-pair attribution -> the stage manifest
-            (the tiered-dedup audit: which candidate source the accepted
-            pairs came from, so a run can see what each tier of the
-            cascade paid for).  Bounded collect: <= one row per method."""
-            rows = (
-                out_df.where(F.col("is_dup") == 1)
-                .select(F.explode("methods").alias("method"))
-                .groupBy("method")
-                .count()
-                .collect()
-            )
-            return {"positive_pairs_by_method": {r["method"]: r["count"] for r in rows}}
-
         decided = staged(
             "decisions",
             lambda: triage_rule(features, cfg),
@@ -222,17 +268,37 @@ def run_dedup(
         "clusters": clusters,
     }
 
-    # -- 6. golden records -----------------------------------------------------
+    # -- 6. keeper: golden-record synthesis, or keep-best-copy ---------------
     if with_golden:
         clustered = pages.join(clusters, "url")
-        out["golden"] = staged(
-            "golden",
-            lambda: golden_records(
-                clustered,
-                policies={"url": "first", "text": "first", "lang": "popularity"},
-            ),
-            parents=["clusters"],
-        )
+        if keeper == "best":
+            score = (
+                keeper_score
+                if keeper_score is not None
+                else default_keeper_score("text")
+            )
+            out["keepers"] = staged(
+                "keepers",
+                lambda: keep_best(
+                    clustered.withColumn("keeper_score", score).select(
+                        "url", "gid", "keeper_score"
+                    ),
+                    "keeper_score",
+                ),
+                parents=["clusters"],
+                # the score EXPRESSION is part of the stage identity: a
+                # resume with a different quality score must recompute
+                extra=f":keeper_score={score}",
+            )
+        else:
+            out["golden"] = staged(
+                "golden",
+                lambda: golden_records(
+                    clustered,
+                    policies={"url": "first", "text": "first", "lang": "popularity"},
+                ),
+                parents=["clusters"],
+            )
 
     if ckpt:
         out["_checkpointer"] = ckpt  # type: ignore[assignment]

@@ -23,7 +23,7 @@ itself is touched map-only: no shuffle, no collect.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _DENOM = 1_000_000
@@ -87,13 +87,17 @@ def mix_sources(
             F.min("__w").alias("weight"),  # constant per source; min is order-proof
         )
     )
-    # one window over the per-source table (rows == #sources, tens at most)
-    c = F.min(F.col("tok_total") / F.col("weight")).over(
-        Window.partitionBy(F.lit(1))
+    # the binding constant c is ONE row: a plain aggregate broadcast back
+    # over the per-source table (the linededup.py corpus-constant shape) —
+    # a Window.partitionBy(lit(1)) computes the same thing but Catalyst
+    # folds the constant partition spec away and WindowExec warns 'No
+    # Partition Defined' on every run, drowning bench logs
+    c = tot.agg(F.min(F.col("tok_total") / F.col("weight")).alias("__c"))
+    rates = (
+        tot.crossJoin(F.broadcast(c))
+        .withColumn("rate", F.col("__c") * F.col("weight") / F.col("tok_total"))
+        .select(source_col, "tok_total", "weight", "rate")
     )
-    rates = tot.withColumn(
-        "rate", c * F.col("weight") / F.col("tok_total")
-    ).select(source_col, "tok_total", "weight", "rate")
 
     keyed = docs.join(F.broadcast(rates.select(source_col, "rate")), source_col)
     sampled = keyed.where(

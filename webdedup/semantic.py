@@ -23,7 +23,9 @@ deliberately mirrors the repo's LSH dedup pipeline:
 
 Scale: within-cell comparison is quadratic in cell size, so n_cells
 must grow with the corpus — n_cells ~ N/5000 keeps the expected cell
-quadratic ~25M comparisons; the shuffle is one exchange of (id, vector,
+quadratic ~25M comparisons.  The default (n_cells=None) now APPLIES that
+rule: ann.auto_n_cells derives the count from one corpus count() (floor
+16); pass n_cells explicitly to pin it.  The shuffle is one exchange of (id, vector,
 cell) hashed by cell, and AQE's skew-join splitting backstops moderate
 imbalance while ``cell_cap`` bounds (and reports) the pathological
 cells.  At 10^12 docs the index table from ivf_build is written once
@@ -60,7 +62,7 @@ def _decode_id(c: Column) -> Column:
 def semantic_pairs(
     corpus: DataFrame,
     tau: float = 0.45,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: str = "kmeans",
@@ -133,7 +135,7 @@ def semantic_pairs(
 def semantic_dedup(
     corpus: DataFrame,
     tau: float = 0.45,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: str = "kmeans",
