@@ -115,9 +115,11 @@ def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace tokenizer) — text-analysis op."""
+    """Token counting (whitespace tokenizer) — text-analysis op.  Explicit
+    whitespace class on both engines: Java \\s includes \\x0B, RE2 does
+    not, so a bare \\s+ is a latent cross-engine divergence."""
     docs = _read(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
     n_tokens = F.when(F.length(F.trim(F.col("text"))) == 0, 0).otherwise(F.size(toks))
     return docs.select("doc_id", n_tokens.alias("n_tokens")).orderBy("doc_id")
 
@@ -581,12 +583,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webdedup.candidates import release_key_caches
     from webdedup.semantic import semantic_dedup
 
+    from webdedup.cluster import release_cc_checkpoints
+
     emb = _read(spark, sf_dir, "embeddings")
     out, _skew = semantic_dedup(emb, tau=0.45, n_cells=16, centroids="portable")
-    # components are materialized inside semantic_dedup and the skew
-    # metrics are discarded here, so the persisted cell index is done
+    # materialize the result lineage-free, then release the persisted cell
+    # index AND the CC star-forest blocks the components retained
+    res = _release_after(out.orderBy("id"))
     release_key_caches()
-    return out.orderBy("id")
+    release_cc_checkpoints()
+    return res
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1118,7 +1124,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": r"""
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+                        ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f]+')) END AS n_tokens
             FROM documents ORDER BY doc_id
         """,
         "bpe_token_counts": f"""

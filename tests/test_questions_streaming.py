@@ -584,3 +584,49 @@ def test_compact_index_sweeps_crash_orphans(spark, tmp_path):
     assert not (root / "epoch=0").exists()
     assert not _bloom_file(state_dir, 0).exists()
     shutil.rmtree(state_dir)
+
+
+def test_compact_index_bounds_dirs_at_many_epochs(spark, tmp_path):
+    """Log-structured maintenance at realistic epoch counts (~50): with a
+    small compact_every the per-batch index fan-in stays bounded — one
+    merged artifact plus a short tail — while every assignment is identical
+    to a never-compacting drive of the same batches."""
+    from webdedup.streaming import _index_path, compact_index, process_batch
+    from webdedup.synth import generate_pages, pages_to_spark
+
+    cfg = DedupConfig()
+    n_epochs, compact_every = 48, 4
+    pages_pd, _, _ = generate_pages(n_docs=960, seed=23)
+    sdf = pages_to_spark(spark, pages_pd).cache()
+    batches = [
+        sdf.where(F.pmod(F.xxhash64("url"), F.lit(n_epochs)) == e)
+        for e in range(n_epochs)
+    ]
+
+    def drive(state_dir: str, compact: bool) -> tuple[dict, int]:
+        out: dict = {}
+        max_dirs = 0
+        for e, b in enumerate(batches):
+            for r in process_batch(spark, b, state_dir, cfg, epoch_id=e).collect():
+                out[r["url"]] = r["gid"]
+            if compact:
+                compact_index(spark, state_dir, min_tail=compact_every)
+                root = _index_path(state_dir)
+                max_dirs = max(
+                    max_dirs, sum(1 for p in root.iterdir() if p.is_dir())
+                )
+        return out, max_dirs
+
+    plain, _ = drive(str(tmp_path / "plain"), compact=False)
+    compacted, max_dirs = drive(str(tmp_path / "compacted"), compact=True)
+    sdf.unpersist()
+    assert plain == compacted
+    assert len(plain) == 960
+
+    # bounded probe fan-in: <= 1 merged artifact + (compact_every-1) tail
+    # dirs at the trigger + the newest (uncompactable) epoch + slack for the
+    # pre-merge peak — vs 48 dirs uncompacted
+    assert max_dirs <= compact_every + 3, max_dirs
+    root = _index_path(str(tmp_path / "compacted"))
+    merged = [p.name for p in root.iterdir() if p.name.startswith("merged=")]
+    assert len(merged) == 1  # older merged artifacts are swept, never leak

@@ -131,6 +131,35 @@ def _local_contract(edges: DataFrame, num_partitions: int | None = None) -> Data
 
 SINGLE_TASK_EDGE_LIMIT = 10_000_000  # ~1 GB of edge strings in one task
 
+# localCheckpoints whose blocks the RESULT of connected_components still
+# reads (the fixpoint star forest / the single-task union-find output).
+# Intermediate rounds are freed inline the moment the next round
+# materializes; these last ones are freed by release_cc_checkpoints() once
+# the caller has materialized everything derived from the return value.
+_CC_CHECKPOINTS: list[DataFrame] = []
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint's storage blocks.  DataFrame.unpersist only
+    clears CacheManager entries; a localCheckpoint's blocks hang off the
+    LogicalRDD itself, reachable via the analyzed plan.  Only call when
+    NOTHING will read df again — the lineage is truncated, so the blocks
+    are unrecoverable."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — plan shape drift: leak, don't fail
+        pass
+
+
+def release_cc_checkpoints() -> None:
+    """Free the storage blocks connected_components retained for its
+    result.  Call AFTER materializing (persist+count / parquet write /
+    localCheckpoint) everything derived from its return value — without
+    this, a long session accumulates one star forest of blocks per CC
+    call (per micro-batch, in streaming)."""
+    while _CC_CHECKPOINTS:
+        _release_local_checkpoint(_CC_CHECKPOINTS.pop())
+
 
 def connected_components(
     edges: DataFrame, max_iterations: int = 50
@@ -158,10 +187,16 @@ def connected_components(
         # a partial computation of the whole upstream pipeline before the
         # contraction ran; the contraction of an empty edge set is empty,
         # so the count above answers both questions in one job
+        _release_local_checkpoint(cur)
         return edges.sparkSession.createDataFrame([], "url string, gid string")
     if n_edges <= SINGLE_TASK_EDGE_LIMIT:
         # contracted graph is small: one exact union-find pass, no rounds
         final = _local_contract(cur, num_partitions=1).localCheckpoint()
+        # localCheckpoint is eager: final is materialized, the contraction
+        # checkpoint is dead NOW; final's blocks serve the return value and
+        # are freed by the caller via release_cc_checkpoints()
+        _release_local_checkpoint(cur)
+        _CC_CHECKPOINTS.append(final)
         membership = final.select(
             F.col("url_b").alias("url"), F.col("url_a").alias("gid")
         )
@@ -169,14 +204,20 @@ def connected_components(
         return membership.unionByName(roots).distinct()
     prev_sig = None
     for _ in range(max_iterations):
-        cur = _large_star(_symmetrize(cur))
-        cur = _small_star(_symmetrize(cur)).localCheckpoint()
-        sig = _edge_checksum(cur)
+        nxt = _large_star(_symmetrize(cur))
+        nxt = _small_star(_symmetrize(nxt)).localCheckpoint()
+        sig = _edge_checksum(nxt)
+        # the checksum materialized nxt, so the PREVIOUS round's blocks are
+        # dead — at scale each round holds an O(edges) block set, and
+        # without this inline release a 20-round job retains 20 of them
+        _release_local_checkpoint(cur)
+        cur = nxt
         if sig == prev_sig:
             break
         prev_sig = sig
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
+    _CC_CHECKPOINTS.append(cur)
 
     # fixpoint is a star forest: every edge points child -> root
     sym = _symmetrize(cur)

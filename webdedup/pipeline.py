@@ -27,6 +27,7 @@ from webdedup.cluster import (
     default_keeper_score,
     golden_records,
     keep_best,
+    release_cc_checkpoints,
 )
 from webdedup.config import DedupConfig
 from webdedup.features import compute_features
@@ -259,6 +260,13 @@ def run_dedup(
         )
 
     clusters = staged("clusters", build_clusters, parents=["decisions"])
+    # one count materializes the persisted/checkpointed stage, after which
+    # the star-forest blocks connected_components retained are dead — the
+    # released lineage is unrecoverable, so the materialization must come
+    # FIRST (the stage persist is disk-backed; local-mode block loss means
+    # process death, the same failure class localCheckpoint already has)
+    clusters.count()
+    release_cc_checkpoints()
 
     out: dict[str, DataFrame] = {
         "signatures": signatures,

@@ -154,7 +154,9 @@ def semantic_dedup(
     registry; once the assignments (and skew metrics, which read the index)
     are materialized, the caller releases it with
     candidates.release_key_caches() — the same contract the LSH candidate
-    stage documents.
+    stage documents.  The connected-components star forest is retained the
+    same way: after materializing everything derived from the return value,
+    also call cluster.release_cc_checkpoints().
     """
     pairs, skew_metrics = semantic_pairs(
         corpus, tau, n_cells, id_col, vec_col, centroids, seed, cell_cap

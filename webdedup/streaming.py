@@ -460,7 +460,16 @@ def process_batch(
             F.coalesce(F.col("gid"), F.col("cgid"), F.col("igid"), F.col("url")),
         )
         .select("url", "gid")
+        # materialize ONCE (batch-sized blocks): the state write below and
+        # the caller's read both consume assigned — without this each
+        # recomputes the whole match plan, and the CC star forest behind
+        # `internal` could never be freed (one leaked block set per
+        # micro-batch over a stream's lifetime)
+        .localCheckpoint()
     )
+    from webdedup.cluster import release_cc_checkpoints
+
+    release_cc_checkpoints()
 
     new_state = (
         sigs.select("url", "shingles", "bands").join(assigned, "url").persist()

@@ -220,13 +220,7 @@ def generate_pages_spark(
     identical in kind to `generate_pages`; truth tables are not emitted —
     bench runs check determinism and throughput, recall evidence comes from
     the small-scale oracle tests)."""
-    per = n_docs // partitions
-    counts = [per + (1 if p < n_docs % partitions else 0) for p in range(partitions)]
-    offsets = [0] * partitions
-    acc = 0
-    for p in range(partitions):
-        offsets[p] = acc
-        acc += counts[p]
+    counts, offsets = _partition_plan(n_docs, partitions)
 
     def gen(batches):
         for pdf in batches:
@@ -245,4 +239,53 @@ def generate_pages_spark(
     return (
         spark.range(partitions, numPartitions=partitions)
         .mapInPandas(gen, schema=pages_spark_schema())
+    )
+
+
+def _partition_plan(n_docs: int, partitions: int) -> tuple[list[int], list[int]]:
+    """Per-partition (row counts, index offsets) — ONE owner so the pages
+    generator and the truth replay below can never disagree."""
+    per = n_docs // partitions
+    counts = [per + (1 if p < n_docs % partitions else 0) for p in range(partitions)]
+    offsets = [0] * partitions
+    acc = 0
+    for p in range(partitions):
+        offsets[p] = acc
+        acc += counts[p]
+    return counts, offsets
+
+
+def generate_truth_spark(
+    spark,
+    n_docs: int,
+    seed: int = 42,
+    partitions: int = 64,
+    text_scale: int = 1,
+    dup_fraction: float = 0.3,
+    boiler_fraction: float = 0.25,
+):
+    """Planted truth pairs for a generate_pages_spark corpus: replays the
+    IDENTICAL per-partition generator (same partition seeds/offsets, same
+    knobs) and emits the truth_pairs table instead of the pages.  Lets a
+    bench-scale corpus snapshot stay pages-only while an ml-path run still
+    gets its 'human labeler' — call with the exact arguments the corpus was
+    generated with."""
+    counts, offsets = _partition_plan(n_docs, partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            for p in pdf["id"]:
+                p = int(p)
+                _, truth, _ = generate_pages(
+                    n_docs=counts[p],
+                    seed=seed + 7919 * p,
+                    dup_fraction=dup_fraction,
+                    boiler_fraction=boiler_fraction,
+                    index_offset=offsets[p],
+                    text_scale=text_scale,
+                )
+                yield truth
+
+    return spark.range(partitions, numPartitions=partitions).mapInPandas(
+        gen, schema="url_a string, url_b string, dup_type string"
     )
