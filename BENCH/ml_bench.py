@@ -1,4 +1,4 @@
-"""ml-vs-rule decision-path bench at corpus scale (VERDICT r4 punch #6).
+"""ml-vs-rule decision-path bench at corpus scale (round-3 verdict punch #6).
 
 The rule path has scaling numbers (BENCH/scaling.py); the learned path
 (question-loop label budget -> GBT -> PruningPipe assembly) had none — this

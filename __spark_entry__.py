@@ -72,8 +72,8 @@ def entry(spark: SparkSession) -> DataFrame:
     pages = _docs_as_pages(docs).cache()
     out = run_dedup(spark, pages, DedupConfig(), with_golden=False)
     return _release_after(
-        out["clusters"].select("url", "gid").orderBy("url"), out, pages
-    )
+        out["clusters"].select("url", "gid"), out, pages
+    ).orderBy("url")
 
 
 # ---------------------------------------------------------------------------
@@ -588,11 +588,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     out, _skew = semantic_dedup(emb, tau=0.45, n_cells=16, centroids="portable")
     # materialize the result lineage-free, then release the persisted cell
-    # index AND the CC star-forest blocks the components retained
-    res = _release_after(out.orderBy("id"))
+    # index AND the CC star-forest blocks the components retained; the
+    # orderBy stays OUTSIDE the checkpoint so a count-style action still
+    # elides the sort (checkpointing the sorted frame forces a full range
+    # exchange the consumer may never need)
+    res = _release_after(out)
     release_key_caches()
     release_cc_checkpoints()
-    return res
+    return res.orderBy("id")
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -740,7 +743,7 @@ def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     pages = _docs_as_pages(docs).cache()
     out = run_dedup(spark, pages, DedupConfig(), with_substring=False, with_golden=False)
-    return _release_after(out["clusters"].orderBy("url"), out, pages)
+    return _release_after(out["clusters"], out, pages).orderBy("url")
 
 
 def q_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -764,7 +767,7 @@ def q_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = keep_best(clustered, "keeper_score").select(
         "gid", F.col("url").alias("keeper"), "keeper_score"
     )
-    return _release_after(keepers.join(members, "gid").orderBy("gid"), out, pages)
+    return _release_after(keepers.join(members, "gid"), out, pages).orderBy("gid")
 
 
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -972,12 +975,12 @@ def q_explain_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "minhash_score",
         "simhash_score",
         "substring_score",
-    ).orderBy("url_a", "url_b")
+    )
     from webdedup.candidates import release_key_caches
 
     res = _release_after(res, pages)
     release_key_caches()
-    return res
+    return res.orderBy("url_a", "url_b")
 
 
 def q_candidate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
