@@ -583,18 +583,22 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webdedup.candidates import release_key_caches
     from webdedup.semantic import semantic_dedup
 
-    from webdedup.cluster import release_cc_checkpoints
+    from webdedup.cluster import release_checkpoints
 
     emb = _read(spark, sf_dir, "embeddings")
-    out, _skew = semantic_dedup(emb, tau=0.45, n_cells=16, centroids="portable")
+    cc_handles: list = []
+    out, _skew = semantic_dedup(
+        emb, tau=0.45, n_cells=16, centroids="portable", cc_checkpoints=cc_handles
+    )
     # materialize the result lineage-free, then release the persisted cell
-    # index AND the CC star-forest blocks the components retained; the
-    # orderBy stays OUTSIDE the checkpoint so a count-style action still
-    # elides the sort (checkpointing the sorted frame forces a full range
-    # exchange the consumer may never need)
+    # index AND the CC star-forest blocks the components retained (scoped
+    # to THIS call's registry — a concurrent CC consumer on the session is
+    # untouched); the orderBy stays OUTSIDE the checkpoint so a count-style
+    # action still elides the sort (checkpointing the sorted frame forces a
+    # full range exchange the consumer may never need)
     res = _release_after(out)
     release_key_caches()
-    release_cc_checkpoints()
+    release_checkpoints(cc_handles)
     return res.orderBy("id")
 
 
@@ -835,6 +839,18 @@ def q_dedup_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  stages dropped (oracle pins 0) — when the engine-vs-
                  brute-force comparison ever diverges at scale, this row
                  attributes it to the caps instead of a bare hash mismatch
+
+    ORACLE BINDING (round-5): the near/substring tiers are counted over
+    the ENGINE's candidate pair set, which this query exports to
+    /tmp/webdedup_oracle_aux/tier_{{near,substring}}_pairs so the DuckDB
+    oracle joins the SAME pairs and replays only the tier semantics
+    (exact shingle Jaccard vs threshold, text-hash inequality,
+    precedence) — deterministic at ANY sf.  Without the binding a plain
+    MinHash detection miss (P~=0.996 per pair at J=0.5) against a
+    brute-force oracle surfaces as a bare count mismatch at larger sf.
+    End-to-end LSH recall vs brute force stays independently tested by
+    minhash_clusters' oracle and the recall pytest gates; the exact tier
+    and the candidates_dropped audit row remain brute-force/pinned.
     """
     from webdedup.candidates import (
         minhash_candidates,
@@ -887,8 +903,12 @@ def q_dedup_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures = compute_signatures(pages, cfg)
     mh, mh_skew = minhash_candidates(signatures, cfg, did_pairs=True)
     sh, sh_skew = simhash_candidates(signatures, cfg, did_pairs=True)
+    # materialize each candidate set ONCE: the tier aggregate and the
+    # oracle-binding export below both consume it (blocks freed after the
+    # output materializes, same lifecycle as the final localCheckpoint)
+    near_cand = union_candidates(mh, sh).select("did_a", "did_b").localCheckpoint()
     near_n = (
-        attributed(union_candidates(mh, sh).select("did_a", "did_b"))
+        attributed(near_cand)
         .where(
             (F.col("jacc") >= cfg.jaccard_threshold) & (F.col("ha") != F.col("hb"))
         )
@@ -898,13 +918,31 @@ def q_dedup_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ss_pairs, ss_skew = substring_candidates(pages, cfg, did_pairs=True)
     verified, v_skew = verify_overlaps(ss_pairs, pages, cfg, with_metrics=True)
+    sub_cand = verified.select("did_a", "did_b").localCheckpoint()
     sub_n = (
-        attributed(verified.select("did_a", "did_b"))
+        attributed(sub_cand)
         .where(
             (F.col("jacc") < cfg.jaccard_threshold) & (F.col("ha") != F.col("hb"))
         )
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
         .select(F.lit("substring").alias("tier"), "n_pairs")
+    )
+
+    # export the candidate sets the oracle binds to (url space — the
+    # oracle parses doc ids back out of the canonical 'doc-%08d' urls).
+    # literal /tmp, NOT tempfile.gettempdir(): the oracle SQL string below
+    # hardcodes the same path, and a TMPDIR override must not split them
+    from pathlib import Path as _P
+
+    from webdedup.candidates import doc_ids, rejoin_urls
+
+    aux = _P("/tmp") / "webdedup_oracle_aux"
+    ids = doc_ids(pages)
+    rejoin_urls(near_cand, ids).write.mode("overwrite").parquet(
+        str(aux / "tier_near_pairs")
+    )
+    rejoin_urls(sub_cand, ids).write.mode("overwrite").parquet(
+        str(aux / "tier_substring_pairs")
     )
 
     # capped-mass audit row: the Spark side blocks with LSH bands/anchors
@@ -926,6 +964,10 @@ def q_dedup_tier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = out.localCheckpoint()  # materialize before releasing the caches
     release_key_caches()
+    from webdedup.cluster import _release_local_checkpoint
+
+    _release_local_checkpoint(near_cand)
+    _release_local_checkpoint(sub_cand)
     attrs.unpersist()
     pages.unpersist()
     return out
@@ -1481,6 +1523,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 ORDER BY url_a, url_b
         """,
         "dedup_tier_counts": f"""
+            -- BOUND to the engine's exported candidate sets (the Spark
+            -- query writes them to /tmp/webdedup_oracle_aux before this
+            -- runs): the oracle replays the TIER SEMANTICS — exact bigram-
+            -- shingle Jaccard vs threshold, text-hash inequality,
+            -- precedence — over the same pairs, so the comparison is
+            -- deterministic at any sf instead of P~=0.996-per-pair against
+            -- a brute-force pair space (LSH end-to-end recall stays
+            -- independently oracled by minhash_clusters)
             WITH tk AS (
               SELECT doc_id, {_TOKS} AS toks FROM documents
             ), sh AS (
@@ -1492,38 +1542,46 @@ def oracle_sql() -> dict[str, str]:
               FROM tk
             ), tx AS (
               SELECT doc_id, md5(text) AS h FROM documents
+            ), nearp AS (
+              SELECT DISTINCT
+                     least(CAST(substr(url_a, 5) AS BIGINT),
+                           CAST(substr(url_b, 5) AS BIGINT)) AS da,
+                     greatest(CAST(substr(url_a, 5) AS BIGINT),
+                              CAST(substr(url_b, 5) AS BIGINT)) AS db
+              FROM read_parquet('/tmp/webdedup_oracle_aux/tier_near_pairs/*.parquet')
+            ), subp AS (
+              SELECT DISTINCT
+                     least(CAST(substr(url_a, 5) AS BIGINT),
+                           CAST(substr(url_b, 5) AS BIGINT)) AS da,
+                     greatest(CAST(substr(url_a, 5) AS BIGINT),
+                              CAST(substr(url_b, 5) AS BIGINT)) AS db
+              FROM read_parquet('/tmp/webdedup_oracle_aux/tier_substring_pairs/*.parquet')
             ), jp AS (
-              SELECT a.doc_id AS da, b.doc_id AS db,
+              SELECT p.da, p.db,
                      len(list_intersect(a.s, b.s)) * 1.0 /
                      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              FROM (SELECT da, db FROM nearp UNION SELECT da, db FROM subp) p
+              JOIN sh a ON a.doc_id = p.da JOIN sh b ON b.doc_id = p.db
             ), ex AS (
               SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS c
               FROM (SELECT count(*) AS c FROM documents GROUP BY md5(text)) g
             ), near AS (
-              SELECT count(*) AS c FROM jp
-              JOIN tx a ON a.doc_id = jp.da JOIN tx b ON b.doc_id = jp.db
+              SELECT count(*) AS c FROM nearp p
+              JOIN jp ON jp.da = p.da AND jp.db = p.db
+              JOIN tx a ON a.doc_id = p.da JOIN tx b ON b.doc_id = p.db
               WHERE jp.j >= 0.5 AND a.h <> b.h
-            ), w AS (
-              SELECT doc_id,
-                     unnest(list_distinct(list_transform(range(1, length(text) - 118),
-                            i -> substr(text, i, 120)))) AS g
-              FROM documents WHERE length(text) >= 120
-            ), sp AS (
-              SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-              FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
             ), sub AS (
-              SELECT count(*) AS c FROM sp
-              JOIN jp ON jp.da = sp.da AND jp.db = sp.db
-              JOIN tx a ON a.doc_id = sp.da JOIN tx b ON b.doc_id = sp.db
+              SELECT count(*) AS c FROM subp p
+              JOIN jp ON jp.da = p.da AND jp.db = p.db
+              JOIN tx a ON a.doc_id = p.da JOIN tx b ON b.doc_id = p.db
               WHERE jp.j < 0.5 AND a.h <> b.h
             )
             SELECT 'exact' AS tier, c AS n_pairs FROM ex
             UNION ALL SELECT 'near', c FROM near
             UNION ALL SELECT 'substring', c FROM sub
-            -- the oracle brute-forces all pairs, the engine blocks with
-            -- capped buckets: the engine reports its capped mass in this
-            -- row (0 here), so a scale-dependent divergence is attributable
+            -- the engine blocks with capped buckets and reports its capped
+            -- mass in this row (0 here): nonzero capped mass is the one
+            -- thing that could make the bound candidate sets incomplete
             UNION ALL SELECT 'candidates_dropped', CAST(0 AS BIGINT)
             ORDER BY tier
         """,

@@ -37,6 +37,32 @@ def test_cli_synth_and_run_rule(spark, tmp_path, capsys):
     assert (out / "clusters" / "_SUCCESS").exists()
 
 
+def test_cli_run_keeper_best(spark, tmp_path, capsys):
+    """--keeper best exercises the <output>/keepers write path end-to-end:
+    one surviving member per gid, no golden output."""
+    data = tmp_path / "data"
+    main(["synth", "--n-docs", "120", "--seed", "7", "--out", str(data), "--partitions", "4"])
+    out = tmp_path / "out_keep"
+    main(
+        [
+            "run",
+            "--input", f"{data}/pages",
+            "--output", str(out),
+            "--checkpoint", str(tmp_path / "ck_keep"),
+            "--keeper", "best",
+        ]
+    )
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_docs"] == 120
+    assert (out / "keepers" / "_SUCCESS").exists()
+    assert not (out / "golden").exists()
+    keepers = spark.read.parquet(str(out / "keepers"))
+    clusters = spark.read.parquet(str(out / "clusters"))
+    n_gids = clusters.select("gid").distinct().count()
+    assert keepers.count() == n_gids
+    assert keepers.select("gid").distinct().count() == n_gids
+
+
 def test_cli_run_ml_decision(spark, tmp_path, capsys):
     data = tmp_path / "data"
     main(["synth", "--n-docs", "300", "--seed", "9", "--out", str(data), "--partitions", "4"])

@@ -53,11 +53,29 @@ class Checkpointer:
       <stage>/manifest.json      lineage + metrics
     """
 
-    def __init__(self, spark: SparkSession, root: str | Path, cfg: DedupConfig):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str | Path,
+        cfg: DedupConfig,
+        writer: Callable[[DataFrame, str], None] | None = None,
+        reader: Callable[[str], DataFrame] | None = None,
+    ):
+        """writer/reader: the table-format swap-in seam.  Default None =
+        the offline partitioned-parquet emulation.  A real catalog plugs in
+        as ``writer=lambda df, stage: df.writeTo(f"cat.db.{stage}")
+        .createOrReplace()`` and ``reader=lambda stage:
+        spark.table(f"cat.db.{stage}")`` — stage identity, manifests,
+        lineage, resume validation and the events log are format-agnostic
+        and stay exactly as they are (tests/test_round5.py runs the seam
+        against a real Iceberg catalog when the runtime jar is present,
+        and against a second parquet tree offline)."""
         self.spark = spark
         self.root = Path(root)
         self.cfg = cfg
         self.config_hash = cfg.config_hash()
+        self._writer = writer
+        self._reader = reader
         self._stage_hashes: dict[str, str] = {}
         self.events: list[dict] = []  # (stage, action) log for tests/CLI
 
@@ -94,18 +112,21 @@ class Checkpointer:
             manifest = json.loads(manifest_path.read_text())
             if manifest.get("identity") == identity:
                 # trust-but-verify: the manifest alone can outlive a partial
-                # overwrite of data/ (killed rewrite, manual deletion).  The
-                # snapshot is only resumable if the parquet commit marker
-                # exists AND the row count still matches what the manifest
-                # recorded; otherwise fall through and recompute.
-                if (data_dir / "_SUCCESS").exists():
+                # overwrite of the snapshot (killed rewrite, manual
+                # deletion).  The snapshot is only resumable if the commit
+                # marker exists (parquet layout; a catalog reader validates
+                # by readability alone — its commits are atomic) AND the row
+                # count still matches what the manifest recorded; otherwise
+                # fall through and recompute.
+                if self._reader is not None or (data_dir / "_SUCCESS").exists():
                     try:
-                        snap = self.spark.read.parquet(str(data_dir))
+                        snap = self._read_stage(name, data_dir)
                         ok = snap.count() == manifest.get("row_count")
                     except Exception:
-                        # _SUCCESS survived but the part files didn't (all
-                        # deleted -> AnalysisException; truncated -> decode
-                        # error): recompute rather than wedging the run
+                        # marker survived but the data didn't (all part
+                        # files deleted -> AnalysisException; truncated ->
+                        # decode error; dropped table): recompute rather
+                        # than wedging the run
                         ok = False
                     if ok:
                         self._stage_hashes[name] = identity
@@ -115,11 +136,14 @@ class Checkpointer:
 
         t0 = time.time()
         df = compute()
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(str(data_dir))
-        out = self.spark.read.parquet(str(data_dir))
+        if self._writer is not None:
+            self._writer(df, name)
+        else:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(str(data_dir))
+        out = self._read_stage(name, data_dir)
 
         manifest = {
             "stage": name,
@@ -138,6 +162,11 @@ class Checkpointer:
         self._stage_hashes[name] = identity
         self.events.append({"stage": name, "action": "computed"})
         return out
+
+    def _read_stage(self, name: str, data_dir: Path) -> DataFrame:
+        if self._reader is not None:
+            return self._reader(name)
+        return self.spark.read.parquet(str(data_dir))
 
     def manifest(self, stage: str) -> dict:
         _, manifest_path = self._paths(stage)

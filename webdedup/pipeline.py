@@ -27,12 +27,25 @@ from webdedup.cluster import (
     default_keeper_score,
     golden_records,
     keep_best,
-    release_cc_checkpoints,
+    release_checkpoints,
 )
 from webdedup.config import DedupConfig
 from webdedup.features import compute_features
 from webdedup.signatures import compute_signatures
 from webdedup.triage import triage_rule
+
+
+def _column_identity(df: DataFrame, col) -> str:
+    """Stable identity string for a Column expression: the pretty-SQL name
+    the analyzer assigns when the expression is resolved against ``df``
+    (public API, analysis only — no job).  Column.__repr__ is NOT used:
+    its format carries no stability guarantee across Spark versions, so a
+    version bump could silently change every stage identity derived from
+    it (spurious recompute of otherwise-valid checkpoints)."""
+    try:
+        return df.select(col).columns[0]
+    except Exception:  # unresolvable against df: fall back to the repr
+        return str(col)
 
 
 def run_dedup(
@@ -253,20 +266,34 @@ def run_dedup(
     matches = decided.where(F.col("is_dup") == 1)
 
     # -- 5. connected components -> gid --------------------------------------
+    # this run OWNS its CC checkpoint registry: releasing the process-global
+    # one would also free star forests another concurrent CC consumer
+    # (stream micro-batch, second run_dedup on the same session) still reads
+    cc_handles: list[DataFrame] = []
+
     def build_clusters() -> DataFrame:
-        comp = connected_components(matches.select("url_a", "url_b"))
+        comp = connected_components(
+            matches.select("url_a", "url_b"), checkpoints=cc_handles
+        )
         return assign_clusters(pages.select("url", "warc_ts", "text", "lang"), comp).select(
             "url", "gid"
         )
 
     clusters = staged("clusters", build_clusters, parents=["decisions"])
-    # one count materializes the persisted/checkpointed stage, after which
-    # the star-forest blocks connected_components retained are dead — the
-    # released lineage is unrecoverable, so the materialization must come
-    # FIRST (the stage persist is disk-backed; local-mode block loss means
-    # process death, the same failure class localCheckpoint already has)
-    clusters.count()
-    release_cc_checkpoints()
+    # empty registry means build_clusters never ran (fully-resumed
+    # checkpointed run) — no blocks to free, and no reason to pay an extra
+    # action over the snapshot
+    if cc_handles:
+        if not ckpt:
+            # one count materializes the persisted stage, after which the
+            # star-forest blocks connected_components retained are dead —
+            # the released lineage is unrecoverable, so the materialization
+            # must come FIRST (the stage persist is disk-backed; local-mode
+            # block loss means process death, the same failure class
+            # localCheckpoint already has).  The checkpointed path needs no
+            # count: the stage's parquet write already materialized it.
+            clusters.count()
+        release_checkpoints(cc_handles)
 
     out: dict[str, DataFrame] = {
         "signatures": signatures,
@@ -296,7 +323,7 @@ def run_dedup(
                 parents=["clusters"],
                 # the score EXPRESSION is part of the stage identity: a
                 # resume with a different quality score must recompute
-                extra=f":keeper_score={score}",
+                extra=f":keeper_score={_column_identity(clustered, score)}",
             )
         else:
             out["golden"] = staged(

@@ -141,6 +141,7 @@ def semantic_dedup(
     centroids: str = "kmeans",
     seed: int = 1337,
     cell_cap: int = 65536,
+    cc_checkpoints: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(assignments(id, gid, keep), skew_metrics) — every corpus row gets
     the minimum id of its semantic-duplicate component as gid (own id when
@@ -155,8 +156,12 @@ def semantic_dedup(
     are materialized, the caller releases it with
     candidates.release_key_caches() — the same contract the LSH candidate
     stage documents.  The connected-components star forest is retained the
-    same way: after materializing everything derived from the return value,
-    also call cluster.release_cc_checkpoints().
+    same way: pass a caller-owned ``cc_checkpoints`` list and, after
+    materializing everything derived from the return value, call
+    cluster.release_checkpoints(cc_checkpoints) — scoped ownership, safe
+    next to concurrent CC consumers on the same session.  Without the list
+    the handles land in the process-global registry
+    (cluster.release_cc_checkpoints), which is sequential-callers-only.
     """
     pairs, skew_metrics = semantic_pairs(
         corpus, tau, n_cells, id_col, vec_col, centroids, seed, cell_cap
@@ -165,7 +170,7 @@ def semantic_dedup(
         _encode_id(F.col("id_a")).alias("url_a"),
         _encode_id(F.col("id_b")).alias("url_b"),
     )
-    comp = connected_components(edges).select(
+    comp = connected_components(edges, checkpoints=cc_checkpoints).select(
         _decode_id(F.col("url")).alias("id"),
         _decode_id(F.col("gid")).alias("__gid"),
     )

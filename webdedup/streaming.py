@@ -397,7 +397,15 @@ def process_batch(
     after a crash between the state write and the stream-checkpoint commit
     recomputes the identical assignment and overwrites the identical epoch
     directory instead of double-appending rows.  Callers outside streaming
-    may omit epoch_id (auto: next uncommitted epoch)."""
+    may omit epoch_id (auto: next uncommitted epoch).
+
+    BLOCK LIFECYCLE: the returned frame is localCheckpoint-backed (one
+    batch-sized block set).  Once the caller has consumed it (collect /
+    write / copied into another materialization), call
+    ``release_batch(assigned)`` — otherwise each micro-batch leaves its
+    block set to driver GC, the slow-leak class the CC star forests
+    already pay to avoid.  run_incremental's foreachBatch does this
+    automatically."""
     from webdedup.candidates import minhash_candidates
     from webdedup.cluster import connected_components
 
@@ -425,7 +433,10 @@ def process_batch(
         )
         .select("url_a", "url_b")
     )
-    internal = connected_components(verified)
+    # batch-owned CC registry: two streams (or a stream + a batch run_dedup)
+    # sharing one session must not free each other's live star forests
+    cc_handles: list[DataFrame] = []
+    internal = connected_components(verified, checkpoints=cc_handles)
 
     # 2. match against accumulated reference state — via the band-key index
     #    (explodes only the batch; bloom + partition pruning on state) when
@@ -467,9 +478,9 @@ def process_batch(
         # micro-batch over a stream's lifetime)
         .localCheckpoint()
     )
-    from webdedup.cluster import release_cc_checkpoints
+    from webdedup.cluster import release_checkpoints
 
-    release_cc_checkpoints()
+    release_checkpoints(cc_handles)
 
     new_state = (
         sigs.select("url", "shingles", "bands").join(assigned, "url").persist()
@@ -484,6 +495,15 @@ def process_batch(
     new_state.unpersist()
     sigs.unpersist()
     return assigned
+
+
+def release_batch(assigned: DataFrame) -> None:
+    """Free the localCheckpoint blocks behind a process_batch result.
+    Call ONLY after the caller has fully consumed the frame — the lineage
+    is truncated, so the blocks are unrecoverable afterwards."""
+    from webdedup.cluster import _release_local_checkpoint
+
+    _release_local_checkpoint(assigned)
 
 
 def windowed_event_counts(
@@ -649,9 +669,13 @@ def run_incremental(
         base_marker.write_text(str(epoch_base))
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        process_batch(
+        assigned = process_batch(
             spark, batch_df, state_dir, cfg, epoch_id=epoch_base + epoch_id
         )
+        # the stream driver never reads the return value — the epoch
+        # parquet write inside process_batch was the consumer, so the
+        # batch's checkpoint blocks are dead the moment it returns
+        release_batch(assigned)
         if compact_every:
             compact_index(spark, state_dir, min_tail=compact_every)
 
