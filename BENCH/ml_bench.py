@@ -32,7 +32,9 @@ HERE = Path(__file__).parent
 GEN = dict(n_docs=150_000, seed=42, partitions=64, text_scale=4)
 
 
-def run_sample(variant: str, cores: int, input_dir: str, questions: int) -> dict:
+def run_sample(
+    variant: str, cores: int, input_dir: str, questions: int, cv: bool = False
+) -> dict:
     from pyspark.sql import functions as F
 
     from webdedup.config import DedupConfig
@@ -59,6 +61,7 @@ def run_sample(variant: str, cores: int, input_dir: str, questions: int) -> dict
         decision=variant,
         truth_pairs=truth_pairs if variant == "ml" else None,
         n_questions=questions,
+        cross_validate=cv and variant == "ml",
     )
     row = (
         out["clusters"]
@@ -84,6 +87,7 @@ def run_sample(variant: str, cores: int, input_dir: str, questions: int) -> dict
         "recall": round(m["recall"], 6),
         "precision": round(m["precision"], 6),
         "n_questions": questions if variant == "ml" else None,
+        "cross_validate": cv if variant == "ml" else None,
     }
 
 
@@ -94,10 +98,22 @@ def main() -> None:
     ap.add_argument("--input", default=str(HERE / "data" / "pages_150000_x4"))
     ap.add_argument("--questions", type=int, default=200)
     ap.add_argument("--samples", type=int, default=2)
+    ap.add_argument(
+        "--cv",
+        action="store_true",
+        help="ml samples run with cross_validate=True (CrossValidator grid "
+        "over the GBT pipeline); result file gets a _cv suffix",
+    )
     args = ap.parse_args()
 
     if args.variant:
-        print(json.dumps(run_sample(args.variant, args.cores, args.input, args.questions)))
+        print(
+            json.dumps(
+                run_sample(
+                    args.variant, args.cores, args.input, args.questions, cv=args.cv
+                )
+            )
+        )
         return
 
     samples: dict[str, list[dict]] = {"rule": [], "ml": []}
@@ -115,6 +131,7 @@ def main() -> None:
                     args.input,
                     "--questions",
                     str(args.questions),
+                    *(["--cv"] if args.cv and variant == "ml" else []),
                 ],
                 capture_output=True,
                 text=True,
@@ -140,13 +157,17 @@ def main() -> None:
     result = {
         "n_docs": rule["n_docs"],
         "cores": args.cores,
+        "cross_validate": args.cv,
         "rule": rule,
         "ml": ml,
         "ml_over_rule": round(ml["wall_sec"] / rule["wall_sec"], 3),
         "recall_gap": round(ml["recall"] - rule["recall"], 6),
     }
     print(json.dumps(result, indent=2))
-    (HERE / f"ml_bench_{rule['n_docs']}.json").write_text(json.dumps(result, indent=2) + "\n")
+    suffix = "_cv" if args.cv else ""
+    (HERE / f"ml_bench_{rule['n_docs']}{suffix}.json").write_text(
+        json.dumps(result, indent=2) + "\n"
+    )
 
 
 if __name__ == "__main__":

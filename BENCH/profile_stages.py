@@ -90,6 +90,9 @@ def main() -> None:
         sigs.select("url", "shingles", "mini", "simhash"), "url"
     )
     feats, _ = timed("features", lambda: force(compute_features(pairs, docs, cfg, ratios_for="mixed")), t)
+    from webdedup.features import release_doc_caches
+
+    release_doc_caches()  # features forced above; the doc cache is dead
     dec, _ = timed("decide", lambda: force(triage_rule(feats, cfg)), t)
     matches = dec.where(F.col("is_dup") == 1)
     comp = timed("cc", lambda: force(connected_components(matches.select("url_a", "url_b")))[0], t)

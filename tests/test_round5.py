@@ -199,3 +199,29 @@ def test_column_identity_is_canonical_sql(spark):
     assert not a.startswith("Column<"), "identity must not be the repr"
     c = _column_identity(df, F.length("text").cast("double"))
     assert c != a, "different expressions must not share an identity"
+
+
+# ---------------------------------------------------------------------------
+# run_dedup's INTERNAL caches (candidate pruned-key tables, the feature
+# stage's doc-side table) are released before it returns: after dropping the
+# caller-owned stage persists, nothing remains in the CacheManager.  Guards
+# the round-5 persists (candidates.py pruned, features.py docs) against
+# silently becoming session-lifetime blocks.
+# ---------------------------------------------------------------------------
+
+def test_run_dedup_releases_internal_caches(spark):
+    from webdedup.pipeline import run_dedup
+    from webdedup.synth import generate_pages, pages_to_spark
+
+    pages_pd, _, _ = generate_pages(n_docs=200, seed=7)
+    pages = pages_to_spark(spark, pages_pd, partitions=4)
+
+    spark.catalog.clearCache()  # isolate from other tests' session caches
+    out = run_dedup(spark, pages, DedupConfig(), with_golden=False)
+    assert out["clusters"].count() == 200
+    # the five stage persists are the caller's to release — drop them; what
+    # must NOT remain is any cache run_dedup created internally
+    for k in ("signatures", "candidates", "features", "decisions", "clusters"):
+        out[k].unpersist()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "run_dedup left internal DataFrame caches behind"

@@ -100,12 +100,13 @@ def _pairs_from_keys(
     primitives.  Urls rejoin AFTER the distinct, only for surviving pairs
     (rejoin_urls).
 
-    persist_keys: the key table is scanned up to 4x downstream (bucket
-    sizing twice, both sides of the self-join).  When keys derive from a
-    persisted signature table (minhash/simhash) the re-scan is a cheap
-    cached explode; when they come from a pandas-UDF corpus scan (substring
-    anchors) the whole UDF re-executes per consumer — pass True there so the
-    scan runs once (MEMORY_AND_DISK, spill-safe at scale).
+    persist_keys: the key table feeds two consumers (bucket sizing and the
+    prune join; the self-join itself reads the PRUNED cache, persisted
+    unconditionally below).  When keys derive from a persisted signature
+    table (minhash/simhash) the re-scan is a cheap cached explode; when
+    they come from a pandas-UDF corpus scan (substring anchors) the whole
+    UDF re-executes per consumer — pass True there so the scan runs once
+    (MEMORY_AND_DISK, spill-safe at scale).
     """
     max_bucket = max_bucket or cfg.max_bucket_size
     if persist_keys:
@@ -145,13 +146,25 @@ def _pairs_from_keys(
         ok.select("key_idx", "key_hash").hint("shuffle_hash"),
         ["key_idx", "key_hash"],
     )
-    if persist_keys:
-        from pyspark import StorageLevel
+    # ALWAYS persist pruned: the self-join scans it twice, and AQE's
+    # runtime stage reuse does NOT fire across the join's two identical
+    # subtrees (verified on the executed plan: 0 ReusedExchange) — without
+    # the persist, the dominant key-table exchange, the bucket-stats pass
+    # and the signature-table explode all run TWICE per source.  The cache
+    # preserves the prune join's (key_idx, key_hash) hash partitioning, so
+    # the self-join over the cached table needs no further exchange; the
+    # blocks are MEMORY_AND_DISK (spill-safe — at cluster scale this is
+    # the same executor-local disk a second shuffle would have hit, minus
+    # the recompute) and released by the caller once the pair list is
+    # materialized (release_key_caches).  An in-array alternative
+    # (collect_list + nested-transform combination explode, single
+    # exchange, no cache) was measured 49% SLOWER end-to-end at 150k
+    # pages/local[8]: higher-order-function lambdas evaluate interpreted,
+    # which took the per-pair hamming gate out of whole-stage codegen.
+    from pyspark import StorageLevel
 
-        # the self-join scans pruned twice; persisting it also stops the
-        # bucket-stats agg chain from being recomputed per side
-        pruned = pruned.persist(StorageLevel.MEMORY_AND_DISK)
-        _registry().append(pruned)
+    pruned = pruned.persist(StorageLevel.MEMORY_AND_DISK)
+    _registry().append(pruned)
     a, b = f"{id_col}_a", f"{id_col}_b"
     left = pruned.select(
         F.col("key_idx"),

@@ -23,6 +23,8 @@ reference's own lesson (its `apply(axis=1)` comparators were its bottleneck).
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -273,6 +275,27 @@ def _both_ratios(a: pd.Series, b: pd.Series) -> pd.DataFrame:
 # side-by-side view + feature table
 # --------------------------------------------------------------------------
 
+_TL_DOCS = threading.local()
+
+
+def _doc_registry() -> list[DataFrame]:
+    if not hasattr(_TL_DOCS, "tables"):
+        _TL_DOCS.tables = []
+    return _TL_DOCS.tables
+
+
+def release_doc_caches() -> None:
+    """Free the doc-side caches compute_features persisted (same ownership
+    contract as candidates.release_key_caches: the caller releases once the
+    feature table is MATERIALIZED — run_dedup does this after the clusters
+    stage's action; direct compute_features callers own it themselves).
+    Thread-local: two pipelines on different threads of one session cannot
+    release each other's doc tables mid-job."""
+    reg = _doc_registry()
+    while reg:
+        reg.pop().unpersist()
+
+
 def build_sbs(pairs: DataFrame, docs: DataFrame, cols: list[str]) -> DataFrame:
     """Pair-restricted side-by-side view: two hash joins of the pair list to
     the doc table (suricate/dftransformers/cartesian.py:168-188 semantics),
@@ -389,7 +412,21 @@ def compute_features(
     if n_pairs is None:
         n_pairs = pairs.count()
     width = max(1, min(2 * sc.defaultParallelism, -(-n_pairs // 1024)))
-    pairs = pairs.repartition(width, "url_a", "url_b")
+    # partition by url_a ONLY: the first SBS join keys on url_a, so
+    # EnsureRequirements consumes this exchange directly instead of
+    # re-shuffling the pair table a second time (the old (url_a, url_b)
+    # partitioning satisfied neither join and was immediately re-exchanged
+    # — verified on the executed plan)
+    pairs = pairs.repartition(width, "url_a")
+    # the doc side feeds BOTH SBS joins, and AQE's runtime stage reuse does
+    # not fire across the two identical subtrees (verified: the
+    # pages-join-signatures build executed twice, once per side) — persist
+    # so the corpus-wide join runs once; the CALLER releases via
+    # release_doc_caches() once the feature table is materialized
+    from pyspark import StorageLevel
+
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    _doc_registry().append(docs)
     sbs = build_sbs(pairs, docs, doc_cols)
     # token sets derived in the same JVM stage (no extra shuffle)
     sbs = sbs.withColumn("toks_source", token_set(F.col("text_source"))).withColumn(

@@ -30,7 +30,7 @@ from webdedup.cluster import (
     release_checkpoints,
 )
 from webdedup.config import DedupConfig
-from webdedup.features import compute_features
+from webdedup.features import compute_features, release_doc_caches
 from webdedup.signatures import compute_signatures
 from webdedup.triage import triage_rule
 
@@ -208,6 +208,12 @@ def run_dedup(
         lambda: compute_features(pairs, docs, cfg, ratios_for="mixed", n_pairs=n_pairs),
         parents=["candidates"],
     )
+    if ckpt:
+        # the stage parquet write above already materialized the feature
+        # table — the doc-side cache compute_features persisted is dead
+        # weight now.  The non-ckpt path releases after the clusters
+        # action instead (the features persist fills transitively there).
+        release_doc_caches()
 
     # -- 4. decision: rule triage, or the learned question-loop path ---------
     def decision_metrics(out_df: DataFrame) -> dict:
@@ -280,19 +286,22 @@ def run_dedup(
         )
 
     clusters = staged("clusters", build_clusters, parents=["decisions"])
-    # empty registry means build_clusters never ran (fully-resumed
-    # checkpointed run) — no blocks to free, and no reason to pay an extra
-    # action over the snapshot
+    if not ckpt:
+        # one count materializes the persisted stage, after which the
+        # star-forest blocks connected_components retained are dead — the
+        # released lineage is unrecoverable, so the materialization must
+        # come FIRST (the stage persist is disk-backed; local-mode block
+        # loss means process death, the same failure class localCheckpoint
+        # already has).  The same count transitively fills the
+        # features/decisions persists, so the doc-side cache inside
+        # compute_features is releasable here too (the ckpt path released
+        # it at the features stage write; build_clusters ALWAYS runs on
+        # this path, so the count is never an extra action).
+        clusters.count()
+        release_doc_caches()
+    # empty registry: fully-resumed checkpointed run, or a zero-duplicate
+    # edge set CC released inline — nothing to free either way
     if cc_handles:
-        if not ckpt:
-            # one count materializes the persisted stage, after which the
-            # star-forest blocks connected_components retained are dead —
-            # the released lineage is unrecoverable, so the materialization
-            # must come FIRST (the stage persist is disk-backed; local-mode
-            # block loss means process death, the same failure class
-            # localCheckpoint already has).  The checkpointed path needs no
-            # count: the stage's parquet write already materialized it.
-            clusters.count()
         release_checkpoints(cc_handles)
 
     out: dict[str, DataFrame] = {

@@ -478,9 +478,15 @@ def process_batch(
         # micro-batch over a stream's lifetime)
         .localCheckpoint()
     )
+    from webdedup.candidates import release_key_caches
     from webdedup.cluster import release_checkpoints
 
     release_checkpoints(cc_handles)
+    # the localCheckpoint above materialized the whole match plan, so the
+    # pruned-key cache minhash_candidates persisted (thread-local registry;
+    # this batch is its only owner on this thread) is dead weight now —
+    # without this drain each micro-batch leaks one pruned-key block set
+    release_key_caches()
 
     new_state = (
         sigs.select("url", "shingles", "bands").join(assigned, "url").persist()
