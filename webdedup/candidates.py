@@ -100,13 +100,14 @@ def _pairs_from_keys(
     primitives.  Urls rejoin AFTER the distinct, only for surviving pairs
     (rejoin_urls).
 
-    persist_keys: the key table feeds two consumers (bucket sizing and the
-    prune join; the self-join itself reads the PRUNED cache, persisted
-    unconditionally below).  When keys derive from a persisted signature
-    table (minhash/simhash) the re-scan is a cheap cached explode; when
-    they come from a pandas-UDF corpus scan (substring anchors) the whole
-    UDF re-executes per consumer — pass True there so the scan runs once
-    (MEMORY_AND_DISK, spill-safe at scale).
+    persist_keys: the key table is scanned up to 4x downstream (bucket
+    sizing, the prune join, and — through the pruned table — both sides of
+    the self-join).  When keys derive from a persisted signature table
+    (minhash/simhash) the re-scan is a cheap cached explode; when they come
+    from a pandas-UDF corpus scan (substring anchors) the whole UDF
+    re-executes per consumer — pass True there so the scan runs once AND
+    the pruned table below is cached (MEMORY_AND_DISK, spill-safe at
+    scale).
     """
     max_bucket = max_bucket or cfg.max_bucket_size
     if persist_keys:
@@ -146,25 +147,29 @@ def _pairs_from_keys(
         ok.select("key_idx", "key_hash").hint("shuffle_hash"),
         ["key_idx", "key_hash"],
     )
-    # ALWAYS persist pruned: the self-join scans it twice, and AQE's
-    # runtime stage reuse does NOT fire across the join's two identical
-    # subtrees (verified on the executed plan: 0 ReusedExchange) — without
-    # the persist, the dominant key-table exchange, the bucket-stats pass
-    # and the signature-table explode all run TWICE per source.  The cache
-    # preserves the prune join's (key_idx, key_hash) hash partitioning, so
-    # the self-join over the cached table needs no further exchange; the
-    # blocks are MEMORY_AND_DISK (spill-safe — at cluster scale this is
-    # the same executor-local disk a second shuffle would have hit, minus
-    # the recompute) and released by the caller once the pair list is
-    # materialized (release_key_caches).  An in-array alternative
-    # (collect_list + nested-transform combination explode, single
-    # exchange, no cache) was measured 49% SLOWER end-to-end at 150k
-    # pages/local[8]: higher-order-function lambdas evaluate interpreted,
-    # which took the per-pair hamming gate out of whole-stage codegen.
-    from pyspark import StorageLevel
+    # The self-join scans pruned twice and AQE's runtime stage reuse does
+    # NOT fire across the join's two identical subtrees (verified on the
+    # executed plan: 0 ReusedExchange), so without a cache the key-table
+    # exchange, the bucket-stats pass and the key derivation all run TWICE
+    # per source.  Persist pruned ONLY when the keys are UDF-derived
+    # (persist_keys — substring anchors), where the recompute is a second
+    # full corpus scan through Python.  For signature-derived keys
+    # (minhash/simhash) the recompute is an explode of the already-cached
+    # signature table + one exchange, and an interleaved same-hour A/B at
+    # 150k pages/local[8] measured the unconditional MEMORY_AND_DISK cache
+    # as a wash within host noise (min-of-samples 272.8s conditional vs
+    # 279.7s cached vs 278.6s round-4 engine) — so we keep the variant
+    # that holds no executor memory: at cluster scale those blocks would
+    # evict other working sets for no measured win.  An in-array
+    # alternative (collect_list + nested-transform combination explode,
+    # single exchange, no cache) was measured 49% SLOWER end-to-end:
+    # higher-order-function lambdas evaluate interpreted, which took the
+    # per-pair hamming gate out of whole-stage codegen.
+    if persist_keys:
+        from pyspark import StorageLevel
 
-    pruned = pruned.persist(StorageLevel.MEMORY_AND_DISK)
-    _registry().append(pruned)
+        pruned = pruned.persist(StorageLevel.MEMORY_AND_DISK)
+        _registry().append(pruned)
     a, b = f"{id_col}_a", f"{id_col}_b"
     left = pruned.select(
         F.col("key_idx"),
